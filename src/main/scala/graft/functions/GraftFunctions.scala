@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registration + Column-level API for the graft native expressions.
+  *
+  * Functions are registered into the session's FunctionRegistry (idempotent,
+  * safe to call per-query) so they work from both the Column API
+  * (via call_function) and spark.sql text.
+  */
+object GraftFunctions {
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "url_canonicalize" -> ((es: Seq[Expression]) => UrlCanonicalize(es.head)),
+    "url_canon_filter" -> ((es: Seq[Expression]) => UrlCanonFilter(es.head)),
+    "url_host" -> ((es: Seq[Expression]) => HostOf(es.head)),
+    "url_domain" -> ((es: Seq[Expression]) => RegisteredDomainOf(es.head)),
+    "url_hash64" -> ((es: Seq[Expression]) => UrlHash64(es.head)),
+    "url_hash_interleave" -> ((es: Seq[Expression]) => UrlHashInterleave(es.head)),
+    "url_accept" -> ((es: Seq[Expression]) => UrlAccept(es.head))
+  )
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  // Column-level helpers (require register(spark) first in the session)
+  def url_canonicalize(c: Column): Column = call_function("url_canonicalize", c)
+  def url_canon_filter(c: Column): Column = call_function("url_canon_filter", c)
+  def url_host(c: Column): Column = call_function("url_host", c)
+  def url_domain(c: Column): Column = call_function("url_domain", c)
+  def url_hash64(c: Column): Column = call_function("url_hash64", c)
+  def url_hash_interleave(c: Column): Column = call_function("url_hash_interleave", c)
+  def url_accept(c: Column): Column = call_function("url_accept", c)
+}

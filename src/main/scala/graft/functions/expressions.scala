@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.url.{Urls, UrlFilters}
+
+/** Native Catalyst expressions for the URL hot path (SURVEY.md §4 "Custom
+  * Catalyst inventory"). Each generates Java code calling the static
+  * forwarders of the pure graft.url.Urls functions, so they participate in
+  * whole-stage codegen (no UDF serialization boundary).
+  */
+
+/** Base for string → nullable-string expressions backed by a static method. */
+abstract class StaticStringExpr extends UnaryExpression {
+  /** Fully-qualified static call, e.g. "graft.url.Urls.canonicalize". */
+  def staticFn: String
+  def eval0(s: String): String
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = eval0(v.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val resultTerm = ctx.freshName("graftStr")
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        String $resultTerm = $staticFn(${childGen.value}.toString());
+        if ($resultTerm != null) {
+          ${ev.isNull} = false;
+          ${ev.value} = UTF8String.fromString($resultTerm);
+        }
+      }""")
+  }
+}
+
+/** Canonicalize a URL (null for unparseable). */
+case class UrlCanonicalize(child: Expression) extends StaticStringExpr {
+  override def staticFn: String = "graft.url.Urls.canonicalize"
+  override def eval0(s: String): String = Urls.canonicalize(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_canonicalize"
+}
+
+/** Canonicalize + default filter chain (null = dropped). */
+case class UrlCanonFilter(child: Expression) extends StaticStringExpr {
+  override def staticFn: String = "graft.url.UrlFilters.canonicalizeAndFilter"
+  override def eval0(s: String): String = UrlFilters.canonicalizeAndFilter(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_canon_filter"
+}
+
+/** Lowercase host of a URL. */
+case class HostOf(child: Expression) extends StaticStringExpr {
+  override def staticFn: String = "graft.url.Urls.hostOf"
+  override def eval0(s: String): String = Urls.hostOf(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_host"
+}
+
+/** Registered domain of a host (public-suffix aware). */
+case class RegisteredDomainOf(child: Expression) extends StaticStringExpr {
+  override def staticFn: String = "graft.url.Urls.registeredDomainOf"
+  override def eval0(s: String): String = Urls.registeredDomainOf(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_domain"
+}
+
+/** 64-bit URL-seen hash (MurmurHash2-64 of the canonical URL). */
+case class UrlHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    Urls.hash64(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.url.Urls.hash64($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_hash64"
+}
+
+/** Position-weighted interleave hash (politeness spread sort key). */
+case class UrlHashInterleave(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    Urls.interleaveHash(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.url.Urls.interleaveHash($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_hash_interleave"
+}
+
+/** URL filter predicate (true = keep). */
+case class UrlAccept(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    UrlFilters.accept(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.url.UrlFilters.accept($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_accept"
+}
