@@ -1,0 +1,35 @@
+package graft.fetch
+
+import graft.fixtures.{PageBehavior, RobotsPolicy, SyntheticWeb}
+import graft.schema.{Doc, Span}
+
+/** Protocol layer. The reference's Protocol plugin surface
+  * (reference/src/java/org/apache/nutch/protocol/Protocol.java:60) reduced
+  * to a pure trait; the synthetic impl serves the fixture web with zero I/O
+  * so fetch throughput measures engine overhead, not network.
+  */
+case class ProtocolResponse(
+    code: String,            // SUCCESS | NOTFOUND | MOVED | TEMP_MOVED | RETRY
+    redirectTo: String,      // for MOVED/TEMP_MOVED
+    doc: Doc,                // for SUCCESS
+    contentType: String,
+    latencyMs: Long
+)
+
+trait Fetcher extends Serializable {
+  def fetch(url: String): ProtocolResponse
+  /** Raw robots policy for a host (parsed robots.txt equivalent). */
+  def robots(host: String): RobotsPolicy
+}
+
+case class SyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher {
+  import PageBehavior._
+  override def fetch(url: String): ProtocolResponse = web.behavior(url) match {
+    case Ok               => ProtocolResponse("SUCCESS", null, web.render(url), "text/html", latencyMs)
+    case NotFound         => ProtocolResponse("NOTFOUND", null, null, null, latencyMs)
+    case RedirectTemp(to) => ProtocolResponse("TEMP_MOVED", to, null, null, latencyMs)
+    case RedirectPerm(to) => ProtocolResponse("MOVED", to, null, null, latencyMs)
+    case ServerError      => ProtocolResponse("RETRY", null, null, null, latencyMs)
+  }
+  override def robots(host: String): RobotsPolicy = web.robots(host)
+}

@@ -1,0 +1,237 @@
+package graft.fetch
+
+import scala.collection.mutable
+
+import graft.frontier.{CrawlConfig, TextProfileSigner}
+import graft.fixtures.RobotsPolicy
+import graft.schema.{CrawlStatus, FetchTask, Span}
+import graft.url.Urls
+
+/** One fetched page: crawl_fetch datum + parsed spans, fused (the synthetic
+  * protocol returns spans directly, so parse needs no second content pass). */
+case class FetchedPage(
+    url: String,
+    url_hash: Long,
+    host: String,
+    status: Byte,
+    protocol_status: String,
+    fetch_time: Long,
+    content_type: String,
+    signature: Array[Byte],
+    repr_url: String,
+    retries: Int,
+    fetch_interval: Int,
+    score: Float,
+    round: Int,
+    spans: Seq[Span]
+)
+
+/** Per-partition fetch counters (per-partition lineage, north rule). */
+case class FetchPartitionMetrics(
+    partition_id: Int,
+    input_rows: Long,
+    fetched: Long,
+    robots_denied: Long,
+    robots_deferred: Long,
+    retries: Long,
+    redirects: Long,
+    gone: Long,
+    virtual_ms: Long
+)
+
+/** Virtual/real time source. Tests and benches use virtual time so politeness
+  * waits are simulated, not slept (SURVEY.md §7.4 "politeness inside a
+  * data-parallel engine"). */
+trait Clock extends Serializable {
+  def now: Long
+  def advanceTo(t: Long): Unit
+}
+final class VirtualClock(start: Long) extends Clock {
+  private var t = start
+  override def now: Long = t
+  override def advanceTo(x: Long): Unit = if (x > t) t = x
+}
+
+/** The per-partition politeness scheduler (SURVEY.md §2.8).
+  *
+  * Equivalent machinery to the reference's in-task fetcher runtime
+  * (QueueFeeder bounded admission, per-host FIFO queues with
+  * nextFetchTime = lastFetchEnd + crawlDelay, robots gate with per-host
+  * cache, per-queue exception purge) — reimagined as a lazy Iterator
+  * transform inside `Dataset.mapPartitions` over a host-partitioned
+  * fetchlist. Hosts are partition-sticky (salted repartition by host), so
+  * the robots cache and queue state are partition-local with the same hit
+  * rates the reference gets from its non-splittable fetchlist files.
+  *
+  * Ready hosts are tracked in a binary heap keyed by nextFetchTime with
+  * lazy deletion, so each fetch costs O(log hosts), not O(hosts).
+  */
+object PolitenessExecutor {
+
+  private sealed trait Gate
+  private case class Open(delayMs: Long) extends Gate
+  private case object Denied extends Gate
+  private case object DelayTooLong extends Gate
+  private case object Deferred extends Gate
+
+  private final class HostQueue(val host: String) {
+    val fifo = new mutable.ArrayDeque[FetchTask]()
+    var nextTime = 0L
+    var exceptions = 0
+    var gate: Gate = null
+    var enqueuedInHeap = false
+  }
+
+  def run(
+      partitionId: Int,
+      tasks: Iterator[FetchTask],
+      fetcher: Fetcher,
+      cfg: CrawlConfig,
+      roundStartMs: Long,
+      round: Int,
+      onMetrics: FetchPartitionMetrics => Unit
+  ): Iterator[FetchedPage] = {
+    val clock = new VirtualClock(roundStartMs)
+    val signer = TextProfileSigner()
+    val queues = mutable.HashMap.empty[String, HostQueue]
+    // min-heap of (nextTime, host) with lazy deletion
+    val ready = mutable.PriorityQueue.empty[(Long, String)](Ordering.by[(Long, String), Long](_._1).reverse)
+    var queued = 0
+    val admissionCap = math.max(64, cfg.queueDepth * cfg.threadsPerQueue * 8)
+    var inRows = 0L
+    var nFetched = 0L
+    var nDenied = 0L
+    var nDeferred = 0L
+    var nRetried = 0L
+    var nRedirects = 0L
+    var nGone = 0L
+
+    def gateOf(q: HostQueue): Gate = {
+      if (q.gate == null) {
+        q.gate = fetcher.robots(q.host) match {
+          case RobotsPolicy.AllowAll => Open(math.max(cfg.serverDelayMs, cfg.minCrawlDelayMs))
+          case RobotsPolicy.DenyAll => Denied
+          case RobotsPolicy.CrawlDelay(s) =>
+            val d = s * 1000L
+            if (d > cfg.maxCrawlDelayMs) DelayTooLong
+            else Open(math.max(d, cfg.minCrawlDelayMs))
+          case RobotsPolicy.Unavailable5xx => Deferred
+        }
+      }
+      q.gate
+    }
+
+    def fill(): Unit =
+      while (tasks.hasNext && queued < admissionCap) {
+        val t = tasks.next()
+        inRows += 1
+        val q = queues.getOrElseUpdate(t.host, new HostQueue(t.host))
+        q.fifo.append(t)
+        queued += 1
+        if (!q.enqueuedInHeap) {
+          ready.enqueue((q.nextTime, q.host))
+          q.enqueuedInHeap = true
+        }
+      }
+
+    def result(t: FetchTask, status: Byte, proto: String, time: Long,
+               ct: String = null, sig: Array[Byte] = null, repr: String = null,
+               spans: Seq[Span] = Seq.empty): FetchedPage =
+      FetchedPage(t.url, t.url_hash, t.host, status, proto, time, ct, sig, repr,
+        t.retries, t.fetch_interval, t.score, round, spans)
+
+    new Iterator[FetchedPage] {
+      private val pending = new mutable.ArrayDeque[FetchedPage]()
+      private var done = false
+
+      /** Drain a whole host queue with one terminal status (robots gates). */
+      private def drain(q: HostQueue, status: Byte, proto: String, bump: Int => Unit): Unit = {
+        bump(q.fifo.size)
+        q.fifo.foreach(t => pending.append(result(t, status, proto, clock.now)))
+        queued -= q.fifo.size
+        q.fifo.clear()
+      }
+
+      private def step(): Unit = {
+        fill()
+        // pop until a live heap entry is found
+        var q: HostQueue = null
+        while (q == null && ready.nonEmpty) {
+          val (time, host) = ready.dequeue()
+          val cand = queues(host)
+          cand.enqueuedInHeap = false
+          if (cand.fifo.isEmpty) () // stale: host drained; politeness state kept in map
+          else if (cand.nextTime != time) { // stale time: re-enqueue at true time
+            ready.enqueue((cand.nextTime, cand.host))
+            cand.enqueuedInHeap = true
+          } else q = cand
+        }
+        if (q == null) {
+          if (!done) {
+            done = true
+            onMetrics(FetchPartitionMetrics(partitionId, inRows, nFetched, nDenied,
+              nDeferred, nRetried, nRedirects, nGone, clock.now - roundStartMs))
+          }
+          return
+        }
+        gateOf(q) match {
+          case Denied       => drain(q, CrawlStatus.FETCH_GONE, "ROBOTS_DENIED", nDenied += _)
+          case DelayTooLong => drain(q, CrawlStatus.FETCH_GONE, "ROBOTS_DELAY_TOO_LONG", nGone += _)
+          case Deferred     => drain(q, CrawlStatus.FETCH_RETRY, "ROBOTS_DEFERRED", nDeferred += _)
+          case Open(delayMs) =>
+            clock.advanceTo(q.nextTime)
+            val t = q.fifo.removeHead()
+            queued -= 1
+            val resp = fetcher.fetch(t.url)
+            clock.advanceTo(clock.now + math.max(0L, resp.latencyMs))
+            val endTime = clock.now
+            resp.code match {
+              case "SUCCESS" =>
+                nFetched += 1
+                val spans = resp.doc.spans
+                pending.append(result(t, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
+                  resp.contentType, signer.signSpans(spans), null, spans))
+              case "NOTFOUND" =>
+                nGone += 1
+                pending.append(result(t, CrawlStatus.FETCH_GONE, "NOTFOUND", endTime))
+              case "MOVED" | "TEMP_MOVED" =>
+                nRedirects += 1
+                val target = graft.url.UrlFilters.canonicalizeAndFilter(resp.redirectTo)
+                val st = if (resp.code == "MOVED") CrawlStatus.FETCH_REDIR_PERM else CrawlStatus.FETCH_REDIR_TEMP
+                val repr = if (target == null) null
+                           else Urls.chooseRepr(t.url, target, temp = resp.code == "TEMP_MOVED")
+                // the redirect target rides along as a span; the parse stage
+                // turns it into a linked frontier update. Deviation from the
+                // reference's in-thread redirect follow: targets are fetched
+                // next round — scale-friendlier, no intra-task surprise work.
+                val spans = if (target == null) Seq.empty[Span]
+                            else Seq(Span("redirect", null, target, 0))
+                pending.append(result(t, st, resp.code, endTime, repr = repr, spans = spans))
+              case _ => // RETRY / transient exception
+                nRetried += 1
+                q.exceptions += 1
+                pending.append(result(t, CrawlStatus.FETCH_RETRY, "EXCEPTION", endTime))
+                if (q.exceptions >= cfg.maxExceptionsPerQueue) {
+                  // purge: remaining items retry next round, without waits
+                  drain(q, CrawlStatus.FETCH_RETRY, "QUEUE_PURGED", nRetried += _)
+                }
+            }
+            q.nextTime = endTime + delayMs
+            if (q.fifo.nonEmpty && !q.enqueuedInHeap) {
+              ready.enqueue((q.nextTime, q.host))
+              q.enqueuedInHeap = true
+            }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        while (pending.isEmpty && !done) step()
+        pending.nonEmpty
+      }
+      override def next(): FetchedPage = {
+        if (!hasNext) throw new NoSuchElementException
+        pending.removeHead()
+      }
+    }
+  }
+}

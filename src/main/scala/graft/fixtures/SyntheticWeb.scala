@@ -1,0 +1,171 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.util.Random
+
+import graft.schema.{Doc, Span}
+import graft.url.Urls
+
+/** Deterministic synthetic web (FIXTURES.md §3): the crawl target.
+  *
+  * Everything about a URL — its robots policy, fetch outcome, latency and
+  * rendered spans — is a pure function of (config, url), so the fetch stage
+  * needs no side table or network: "the internet" is a deterministic
+  * function shipped in the task closure. Seeded; no ambient clock/random
+  * (unlike reference/src/java/org/apache/nutch/crawl/Generator.java:1067,1100-1109
+  * whose partition seed and segment names come from ambient time).
+  *
+  * Host population is Zipf-skewed: host 0 carries `hotFactor` times the
+  * pages of a normal host, to exercise per-host caps and salting.
+  */
+case class WebConfig(
+    nHosts: Int = 10,
+    pagesPerHost: Int = 20,
+    hotFactor: Int = 8,     // host-000 has hotFactor × pagesPerHost pages
+    seed: Long = 42L,
+    linkFanout: Int = 8,    // max outlinks per page
+    externalLinkPct: Int = 20
+)
+
+/** Fetch outcome classes of the synthetic site. */
+sealed trait PageBehavior extends Serializable
+object PageBehavior {
+  case object Ok extends PageBehavior
+  case object NotFound extends PageBehavior
+  case class RedirectTemp(to: String) extends PageBehavior
+  case class RedirectPerm(to: String) extends PageBehavior
+  case object ServerError extends PageBehavior // transient → fetch_retry
+}
+
+/** Per-host robots policy. */
+sealed trait RobotsPolicy extends Serializable
+object RobotsPolicy {
+  case object AllowAll extends RobotsPolicy
+  case object DenyAll extends RobotsPolicy
+  case class CrawlDelay(seconds: Int) extends RobotsPolicy
+  case object Unavailable5xx extends RobotsPolicy // defer visits
+}
+
+case class SyntheticWeb(cfg: WebConfig) extends Serializable {
+  import PageBehavior._
+
+  private val words = Array(
+    "spark", "crawl", "frontier", "fetch", "parse", "merge", "score", "host",
+    "queue", "robots", "link", "anchor", "page", "index", "batch", "round",
+    "shard", "bloom", "hash", "delta", "graph", "rank", "seed", "delay")
+
+  def hostName(i: Int): String = f"host-$i%03d.fix.test"
+  def pageCount(hostIdx: Int): Int =
+    if (hostIdx == 0) cfg.pagesPerHost * cfg.hotFactor else cfg.pagesPerHost
+  def pageUrl(hostIdx: Int, page: Int): String =
+    if (page == 0) s"http://${hostName(hostIdx)}/"
+    else s"http://${hostName(hostIdx)}/page-$page"
+
+  def seedUrls: Seq[String] = (0 until cfg.nHosts).map(pageUrl(_, 0))
+
+  /** Parse (hostIdx, pageIdx) back out of a synthetic URL; None if foreign. */
+  def locate(url: String): Option[(Int, Int)] = {
+    val host = Urls.hostOf(url)
+    if (host == null || !host.endsWith(".fix.test") || !host.startsWith("host-")) return None
+    val idx = host.substring(5, host.indexOf('.')).toIntOption.getOrElse(return None)
+    if (idx < 0 || idx >= cfg.nHosts) return None
+    val path = url.substring(url.indexOf(host) + host.length)
+    val page =
+      if (path.isEmpty || path == "/") 0
+      else if (path.startsWith("/page-")) path.substring(6).takeWhile(_.isDigit).toIntOption.getOrElse(return None)
+      else return None
+    if (page >= pageCount(idx)) None else Some((idx, page))
+  }
+
+  private def rng(url: String, salt: Long): Random =
+    new Random(Urls.hash64(url) ^ cfg.seed ^ salt)
+
+  /** Robots policy per host, deterministic from host name. */
+  def robots(host: String): RobotsPolicy = {
+    val h = math.floorMod(Urls.hash64(host) ^ cfg.seed, 20L).toInt
+    h match {
+      case 0 => RobotsPolicy.DenyAll
+      case 1 => RobotsPolicy.CrawlDelay(2)
+      case 2 => RobotsPolicy.CrawlDelay(120) // > fetcher.max.crawl.delay → host skipped
+      case 3 => RobotsPolicy.Unavailable5xx
+      case _ => RobotsPolicy.AllowAll
+    }
+  }
+
+  /** Fetch behavior per URL: ~82% ok, 5% 404, 7% redirects, 6% 5xx. */
+  def behavior(url: String): PageBehavior =
+    locate(url) match {
+      case None => NotFound
+      case Some((hostIdx, page)) =>
+        if (page == 0) Ok // homepages always fetch (seeds must succeed)
+        else {
+          val r = math.floorMod(Urls.hash64(url) ^ (cfg.seed * 31), 100L).toInt
+          if (r < 82) Ok
+          else if (r < 87) NotFound
+          else if (r < 91) RedirectTemp(pageUrl(hostIdx, (page + 1) % pageCount(hostIdx)))
+          else if (r < 94) RedirectPerm(pageUrl(hostIdx, math.max(0, page - 1)))
+          else ServerError
+        }
+    }
+
+  /** Render the interleaved spans of a page. Deterministic per URL.
+    * Duplicate-content trap: pages with page % 17 == 5 render the same text
+    * as page-1 on the same host (signature-dedup fixture). */
+  def render(url: String): Doc = {
+    val (hostIdx, page) = locate(url).getOrElse(return Doc(url, Seq.empty))
+    val contentKey = if (page % 17 == 5 && page > 0) pageUrl(hostIdx, page - 1) else url
+    val r = rng(contentKey, 0x7ea7L)
+    val linkR = rng(url, 0x11aaL) // link structure stays per-URL even for dup text
+    val spans = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var offset = 0
+    def add(kind: String, text: String, ref: String): Unit = {
+      spans += Span(kind, text, ref, offset); offset += 1
+    }
+    val nText = 2 + r.nextInt(5)
+    val nLinks = linkR.nextInt(cfg.linkFanout + 1)
+    val nMedia = linkR.nextInt(4)
+    var t = 0
+    var l = 0
+    var m = 0
+    while (t < nText || l < nLinks || m < nMedia) {
+      if (t < nText) {
+        val sent = (0 until (4 + r.nextInt(8))).map(_ => words(r.nextInt(words.length))).mkString(" ")
+        add("text", sent, null); t += 1
+      }
+      if (l < nLinks) {
+        val external = linkR.nextInt(100) < cfg.externalLinkPct && cfg.nHosts > 1
+        val targetHost = if (external) (hostIdx + 1 + linkR.nextInt(cfg.nHosts - 1)) % cfg.nHosts else hostIdx
+        val target = pageUrl(targetHost, linkR.nextInt(pageCount(targetHost)))
+        add("link", words(linkR.nextInt(words.length)), target); l += 1
+      }
+      if (m < nMedia) {
+        add("media", words(linkR.nextInt(words.length)), s"http://${hostName(hostIdx)}/img-${linkR.nextInt(50)}.png")
+        m += 1
+      }
+    }
+    Doc(url, spans.toSeq)
+  }
+
+  def allUrls: Seq[String] =
+    for (h <- 0 until cfg.nHosts; p <- 0 until pageCount(h)) yield pageUrl(h, p)
+
+  /** The authoritative `documents` input table (doc_id, spans), generated
+    * distributed (no driver-side loop over pages). */
+  def documents(spark: SparkSession): Dataset[Doc] = {
+    import spark.implicits._
+    val self = this
+    val hostStarts = (0 until cfg.nHosts).scanLeft(0L)((acc, h) => acc + pageCount(h))
+    val total = hostStarts.last
+    val starts = hostStarts.toArray
+    spark.range(0, total, 1, math.max(4, spark.sparkContext.defaultParallelism)).map { i =>
+      // binary search host for global page index i
+      var lo = 0
+      var hi = cfg.nHosts - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (starts(mid) <= i) lo = mid else hi = mid - 1
+      }
+      self.render(self.pageUrl(lo, (i - starts(lo)).toInt))
+    }
+  }
+}

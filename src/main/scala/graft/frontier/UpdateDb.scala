@@ -1,0 +1,161 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.collection.mutable
+
+import graft.schema._
+import graft.url.Urls
+
+/** The updatedb merge — the heart of the frontier (SURVEY.md §2.10).
+  *
+  * Semantics replicated from the reference's reduce-side state machine
+  * (reference/src/java/org/apache/nutch/crawl/CrawlDbReducer.java:64-324,
+  * test matrix src/test/.../TestCrawlDbStates.java:62-192):
+  * co-group {old frontier row} ∪ {fetch results} ∪ {inlink credits} by URL,
+  * keep latest fetch by time, cap inlinks at maxInlinks keeping the
+  * highest-score ones (bounded heap — the skew guard for mega-inlink URLs),
+  * then drive the status state machine + fetch schedule + OPIC score update.
+  *
+  * Spark realization: one `groupByKey(url).flatMapGroups` over a typed
+  * union Dataset[FrontierUpdate] — a single shuffle, exactly where the
+  * reference shuffles.
+  */
+object UpdateDb {
+
+  import CrawlStatus._
+
+  /** Pure per-URL merge. Exposed for the state-matrix spec. */
+  def merge(
+      url: String,
+      updates: Iterator[FrontierUpdate],
+      cfg: CrawlConfig,
+      schedule: FetchSchedule,
+      now: Long
+  ): Option[FrontierEntry] = {
+    var old: FrontierUpdate = null
+    var fetch: FrontierUpdate = null
+    var fetchIsLink = false
+    // bounded min-heap on score: keeps the top-maxInlinks inlink credits
+    val inlinks = mutable.PriorityQueue.empty[FrontierUpdate](Ordering.by[FrontierUpdate, Float](_.score).reverse)
+
+    updates.foreach { u =>
+      u.kind match {
+        case "old" =>
+          if (old == null || u.fetch_time > old.fetch_time) old = u
+        case "fetch" =>
+          if (fetch == null || fetchIsLink || u.fetch_time > fetch.fetch_time) { fetch = u; fetchIsLink = false }
+        case "linked" =>
+          inlinks.enqueue(u)
+          if (inlinks.size > cfg.maxInlinks) inlinks.dequeue() // drop lowest score
+        case _ => // ignore unknown kinds
+      }
+    }
+
+    val linkCredit = inlinks.iterator.map(_.score.toDouble).sum.toFloat
+    if (fetch == null && inlinks.nonEmpty) {
+      // links only: the best link acts as the triggering datum
+      fetch = inlinks.maxBy(_.score)
+      fetchIsLink = true
+    }
+    if (fetch == null && old == null) return None
+    if (fetch == null) return Some(toEntry(old, url)) // orphan: re-emit old unchanged
+
+    // additions gate: never create rows for URLs outside the db
+    if (!cfg.additionsAllowed && old == null && fetchIsLink) return None
+
+    val host = Urls.hostOf(url)
+    val domain = Urls.registeredDomainOf(host)
+    val base: FrontierEntry =
+      if (old != null) toEntry(old, url)
+      else schedule.initialize(
+        FrontierEntry(url, Urls.hash64(url), host, domain, DB_UNFETCHED,
+          now, 0, cfg.fetchIntervalDefault, 0.0f, null, 0L, null, -1L, Map.empty), now)
+
+    // metadata: old ∪ fetch, fetch wins (reference :182-189)
+    val mergedMeta =
+      if (old == null) fetch.metadata
+      else if (fetchIsLink) base.metadata
+      else base.metadata ++ fetch.metadata
+
+    var e = base.copy(metadata = mergedMeta, generate_time = -1L)
+
+    e = fetch.status match {
+      case s if fetchIsLink =>
+        // links only, no real fetch: status unchanged (existing) or db_unfetched (new)
+        e
+
+      case FETCH_SUCCESS | FETCH_REDIR_PERM | FETCH_REDIR_TEMP | FETCH_NOTMODIFIED =>
+        // modified-state by signature compare (success only, reference :225-239)
+        val modified =
+          if (fetch.status != FETCH_SUCCESS) 0
+          else if (fetch.signature == null || e.signature == null) 1
+          else if (java.util.Arrays.equals(fetch.signature, e.signature)) 2
+          else 1
+        val scheduled = schedule.setFetchSchedule(e, fetch.fetch_time,
+          if (fetch.modified_time > 0) fetch.modified_time else e.modified_time, modified)
+        val next = fetch.status match {
+          case FETCH_NOTMODIFIED =>
+            // keep old signature + previous modified time (reference :245-253)
+            scheduled.copy(status = DB_NOTMODIFIED)
+          case FETCH_SUCCESS if modified == 2 =>
+            scheduled.copy(status = DB_NOTMODIFIED, signature = e.signature)
+          case FETCH_SUCCESS =>
+            scheduled.copy(status = DB_FETCHED, signature = fetch.signature,
+              modified_time = fetch.fetch_time)
+          case FETCH_REDIR_PERM =>
+            scheduled.copy(status = DB_REDIR_PERM, signature = fetch.signature,
+              repr_url = fetch.repr_url)
+          case _ =>
+            scheduled.copy(status = DB_REDIR_TEMP, signature = fetch.signature,
+              repr_url = fetch.repr_url)
+        }
+        // interval overflow ⇒ force re-fetch (reference :276-281)
+        if (next.fetch_interval > cfg.fetchIntervalMax) schedule.forceRefetch(next, fetch.fetch_time)
+        else next
+
+      case FETCH_RETRY =>
+        val retried = schedule.setPageRetrySchedule(e, fetch.fetch_time)
+        if (retried.retries < cfg.retryMax) retried.copy(status = DB_UNFETCHED)
+        else schedule.setPageGoneSchedule(retried, fetch.fetch_time).copy(status = DB_GONE)
+
+      case FETCH_GONE =>
+        schedule.setPageGoneSchedule(e, fetch.fetch_time).copy(status = DB_GONE)
+
+      case other =>
+        e // unknown fetch status: keep as-is
+    }
+
+    if (cfg.purge404 && e.status == DB_GONE) return None
+
+    // OPIC: score accumulates inlink credits (reference OPICScoringFilter.java:100-110)
+    Some(e.copy(score = e.score + linkCredit))
+  }
+
+  private def toEntry(u: FrontierUpdate, url: String): FrontierEntry = {
+    val host = Urls.hostOf(url)
+    FrontierEntry(url, Urls.hash64(url), host, Urls.registeredDomainOf(host),
+      u.status, u.fetch_time, u.retries, u.fetch_interval, u.score, u.signature,
+      u.modified_time, u.repr_url, -1L, u.metadata)
+  }
+
+  def asOld(e: FrontierEntry): FrontierUpdate =
+    FrontierUpdate(e.url, "old", e.status, e.fetch_time, e.retries,
+      e.fetch_interval, e.score, e.signature, e.modified_time, e.repr_url, e.metadata)
+
+  /** Distributed updatedb: frontier ∪ fetch results ∪ inlink credits → new frontier. */
+  def run(
+      frontier: Dataset[FrontierEntry],
+      fetched: Dataset[FrontierUpdate],
+      linked: Dataset[FrontierUpdate],
+      cfg: CrawlConfig,
+      now: Long
+  ): Dataset[FrontierEntry] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val schedule = FetchSchedule.forConfig(cfg)
+    val updates = frontier.map(asOld).unionByName(fetched).unionByName(linked)
+    updates
+      .groupByKey(_.url)
+      .flatMapGroups((url, it) => merge(url, it, cfg, schedule, now).iterator)
+  }
+}

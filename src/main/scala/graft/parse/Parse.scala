@@ -1,0 +1,88 @@
+package graft.parse
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.fetch.FetchedPage
+import graft.frontier.CrawlConfig
+import graft.functions.GraftFunctions
+import graft.schema.{CrawlStatus, FrontierUpdate, ParsedDoc}
+
+/** Parse + outlink pipeline (SURVEY.md §2.9).
+  *
+  * The synthetic protocol already returns span-shaped content, so "parse" is
+  * span extraction + signature (done in the fetch executor) + the outlink
+  * post-processing the reference does in ParseOutputFormat
+  * (reference/src/java/org/apache/nutch/parse/ParseOutputFormat.java:295-357):
+  * cap outlinks per page, canonicalize + filter, drop self-links, and
+  * distribute OPIC score to targets (score / n × internal/external factor,
+  * plugin/scoring-opic/.../OPICScoringFilter.java:129-172).
+  *
+  * Everything here is declarative DataFrame code — explode/filter/arithmetic
+  * stay inside whole-stage codegen; no shuffle until updatedb groups by URL.
+  */
+object Parse {
+
+  /** The parsed interleaved-documents table (the authoritative output shape). */
+  def parsedDocs(pages: Dataset[FetchedPage]): Dataset[ParsedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .filter(_.status == CrawlStatus.FETCH_SUCCESS)
+      .map(p => ParsedDoc(p.url, p.spans, p.round, p.signature, p.score))
+  }
+
+  /** Exploded, canonicalized, score-carrying outlinks → linked frontier
+    * updates. Redirect spans pass the source's full score (meta-redirect
+    * semantics, ParseOutputFormat.java:273-293); link/media spans share
+    * score / n. */
+  def linkedUpdates(pages: Dataset[FetchedPage], cfg: CrawlConfig, round: Int): Dataset[FrontierUpdate] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    GraftFunctions.register(spark)
+
+    val exploded = pages.toDF()
+      .filter(col("status").isin(CrawlStatus.FETCH_SUCCESS.toInt,
+        CrawlStatus.FETCH_REDIR_PERM.toInt, CrawlStatus.FETCH_REDIR_TEMP.toInt))
+      .select(col("url").as("from_url"), col("host").as("from_host"),
+        col("score"), col("fetch_time"),
+        // cap BEFORE exploding: slice bounds the blowup (db.max.outlinks.per.page)
+        slice(filter(col("spans"), s => s.getField("kind").isin("link", "media", "redirect")),
+          1, cfg.maxOutlinksPerPage).as("links"))
+      .withColumn("n", greatest(size(col("links")), lit(1)))
+      .select(col("from_url"), col("from_host"), col("score"), col("fetch_time"), col("n"),
+        explode(col("links")).as("l"))
+      .withColumn("to_url", call_function("url_canon_filter", col("l.media_ref")))
+      .filter(col("to_url").isNotNull && col("to_url") =!= col("from_url"))
+      .withColumn("to_host", call_function("url_host", col("to_url")))
+      .withColumn("internal", col("to_host") === col("from_host"))
+      .withColumn("child_score",
+        when(col("l.kind") === "redirect", col("score"))
+          .otherwise(col("score") / col("n") *
+            when(col("internal"), lit(cfg.scoreInternalFactor)).otherwise(lit(cfg.scoreExternalFactor))))
+
+    exploded.select(
+      col("to_url").as("url"),
+      lit("linked").as("kind"),
+      lit(CrawlStatus.DB_UNFETCHED).as("status"),
+      col("fetch_time"),
+      lit(0).as("retries"),
+      lit(cfg.fetchIntervalDefault).as("fetch_interval"),
+      col("child_score").cast("float").as("score"),
+      lit(null).cast("binary").as("signature"),
+      lit(0L).as("modified_time"),
+      lit(null).cast("string").as("repr_url"),
+      typedLit(Map.empty[String, String]).as("metadata")
+    ).as[FrontierUpdate]
+  }
+
+  /** Fetch statuses as updatedb input rows. */
+  def fetchUpdates(pages: Dataset[FetchedPage]): Dataset[FrontierUpdate] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.map { p =>
+      FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
+        p.fetch_interval, p.score, p.signature, 0L, p.repr_url, Map.empty)
+    }
+  }
+}

@@ -240,6 +240,25 @@ object Urls {
     h
   }
 
+  /** Representative-URL election after a redirect. Semantics follow the
+    * reference's URLUtil.chooseRepr behaviors (util/URLUtil.java, used at
+    * fetcher/FetcherThread.java:614): a permanent redirect makes the
+    * destination representative; a temporary redirect keeps the source,
+    * unless the destination is the https twin or strictly shorter on the
+    * same host (vanity → canonical). */
+  def chooseRepr(src: String, dst: String, temp: Boolean): String = {
+    if (dst == null) return src
+    if (src == null) return dst
+    if (!temp) return dst
+    val sh = hostOf(src)
+    val dh = hostOf(dst)
+    if (sh != null && sh == dh) {
+      val httpsTwin = dst.startsWith("https://") && src.startsWith("http://") &&
+        dst.substring(8) == src.substring(7)
+      if (httpsTwin || dst.length < src.length) dst else src
+    } else src
+  }
+
   /** 64-bit URL-seen hash of the canonical URL: MurmurHash3 x64 (low word).
     * Pure-JVM, stable across releases — the URL-seen set key must never
     * change value (north rule: canonicalized URL → 64-bit hash). */

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+import graft.fetch._
+import graft.fixtures._
+import graft.frontier.CrawlConfig
+import graft.schema.{CrawlStatus, Doc, FetchTask, Span}
+import graft.url.Urls
+
+/** Politeness + robots semantics of the fetch executor, mirroring the
+  * reference's TestFetcher politeness-budget assertion
+  * (reference/src/test/org/apache/nutch/fetcher/TestFetcher.java:118-121). */
+class FetcherSpec extends AnyFunSuite {
+
+  val cfg = CrawlConfig(serverDelayMs = 1000, fetchLatencyMs = 10, maxCrawlDelayMs = 30000)
+  val t0 = 1700000000000L
+
+  def task(url: String, score: Float = 1f): FetchTask = {
+    val host = Urls.hostOf(url)
+    FetchTask(url, Urls.hash64(url), host, Urls.registeredDomainOf(host),
+      CrawlStatus.DB_UNFETCHED, t0, 0, 2592000, score, 1)
+  }
+
+  /** A fully scripted fetcher for exact assertions. */
+  case class ScriptedFetcher(
+      behaviors: Map[String, ProtocolResponse],
+      robotsMap: Map[String, RobotsPolicy],
+      latency: Long = 10
+  ) extends Fetcher {
+    override def fetch(url: String): ProtocolResponse =
+      behaviors.getOrElse(url, ProtocolResponse("SUCCESS", null,
+        Doc(url, Seq(Span("text", "hello world content", null, 0))), "text/html", latency))
+    override def robots(host: String): RobotsPolicy =
+      robotsMap.getOrElse(host, RobotsPolicy.AllowAll)
+  }
+
+  def run(tasks: Seq[FetchTask], fetcher: Fetcher, c: CrawlConfig = cfg): (Seq[FetchedPage], Seq[FetchPartitionMetrics]) = {
+    val ms = mutable.ArrayBuffer.empty[FetchPartitionMetrics]
+    val out = PolitenessExecutor.run(0, tasks.iterator, fetcher, c, t0, 1, ms += _).toSeq
+    (out, ms.toSeq)
+  }
+
+  test("per-host gap ≥ crawl delay (politeness budget)") {
+    val tasks = (1 to 8).map(i => task(s"http://a.fix.test/p$i")) ++
+      (1 to 8).map(i => task(s"http://b.fix.test/p$i"))
+    val (out, metrics) = run(tasks, ScriptedFetcher(Map.empty, Map.empty))
+    assert(out.size == 16)
+    for ((host, pages) <- out.groupBy(_.host)) {
+      val times = pages.map(_.fetch_time).sorted
+      val gaps = times.zip(times.tail).map { case (a, b) => b - a }
+      assert(gaps.forall(_ >= cfg.serverDelayMs), s"$host gaps $gaps must be ≥ ${cfg.serverDelayMs}")
+    }
+    // politeness floor like the reference test: total virtual time for 8
+    // same-host fetches > (n-1) * delay
+    assert(metrics.head.virtual_ms >= 7 * cfg.serverDelayMs)
+    // but the two hosts interleave: virtual time far below 15 * delay
+    assert(metrics.head.virtual_ms < 15 * cfg.serverDelayMs)
+  }
+
+  test("robots deny-all → fetch_gone ROBOTS_DENIED, no politeness wait") {
+    val tasks = (1 to 5).map(i => task(s"http://deny.fix.test/p$i"))
+    val (out, m) = run(tasks, ScriptedFetcher(Map.empty, Map("deny.fix.test" -> RobotsPolicy.DenyAll)))
+    assert(out.size == 5)
+    assert(out.forall(p => p.status == CrawlStatus.FETCH_GONE && p.protocol_status == "ROBOTS_DENIED"))
+    assert(m.head.robots_denied == 5)
+    assert(m.head.virtual_ms == 0)
+  }
+
+  test("crawl-delay above max → host skipped as gone; below max → clamped delay honored") {
+    val over = (1 to 3).map(i => task(s"http://slow.fix.test/p$i"))
+    val (outOver, _) = run(over, ScriptedFetcher(Map.empty, Map("slow.fix.test" -> RobotsPolicy.CrawlDelay(120))))
+    assert(outOver.forall(p => p.protocol_status == "ROBOTS_DELAY_TOO_LONG"))
+
+    val ok = (1 to 4).map(i => task(s"http://meh.fix.test/p$i"))
+    val (outOk, _) = run(ok, ScriptedFetcher(Map.empty, Map("meh.fix.test" -> RobotsPolicy.CrawlDelay(2))))
+    val times = outOk.map(_.fetch_time).sorted
+    val gaps = times.zip(times.tail).map { case (a, b) => b - a }
+    assert(gaps.forall(_ >= 2000), s"crawl-delay 2s must be honored, gaps=$gaps")
+  }
+
+  test("robots 5xx → visits deferred as fetch_retry") {
+    val (out, m) = run(Seq(task("http://err.fix.test/")),
+      ScriptedFetcher(Map.empty, Map("err.fix.test" -> RobotsPolicy.Unavailable5xx)))
+    assert(out.head.status == CrawlStatus.FETCH_RETRY)
+    assert(out.head.protocol_status == "ROBOTS_DEFERRED")
+    assert(m.head.robots_deferred == 1)
+  }
+
+  test("redirect: repr url election + target emitted as redirect span") {
+    val f = ScriptedFetcher(Map(
+      "http://a.fix.test/old" -> ProtocolResponse("MOVED", "http://a.fix.test/new", null, null, 10),
+      "http://a.fix.test/tmp" -> ProtocolResponse("TEMP_MOVED", "http://a.fix.test/elsewhere-longer", null, null, 10)
+    ), Map.empty)
+    val (out, _) = run(Seq(task("http://a.fix.test/old"), task("http://a.fix.test/tmp")), f)
+    val perm = out.find(_.url.endsWith("/old")).get
+    assert(perm.status == CrawlStatus.FETCH_REDIR_PERM)
+    assert(perm.repr_url == "http://a.fix.test/new") // permanent: destination wins
+    assert(perm.spans == Seq(Span("redirect", null, "http://a.fix.test/new", 0)))
+    val temp = out.find(_.url.endsWith("/tmp")).get
+    assert(temp.status == CrawlStatus.FETCH_REDIR_TEMP)
+    assert(temp.repr_url == "http://a.fix.test/tmp") // temporary: source stays
+  }
+
+  test("exception threshold purges the host queue") {
+    val c = cfg.copy(maxExceptionsPerQueue = 3)
+    val boom = (1 to 10).map(i => s"http://bad.fix.test/p$i" ->
+      ProtocolResponse("RETRY", null, null, null, 10)).toMap
+    val (out, m) = run((1 to 10).map(i => task(s"http://bad.fix.test/p$i")), ScriptedFetcher(boom, Map.empty), c)
+    assert(out.size == 10)
+    assert(out.count(_.protocol_status == "EXCEPTION") == 3)
+    assert(out.count(_.protocol_status == "QUEUE_PURGED") == 7)
+    assert(out.forall(_.status == CrawlStatus.FETCH_RETRY))
+  }
+
+  test("success carries spans and a content signature") {
+    val (out, _) = run(Seq(task("http://a.fix.test/")), ScriptedFetcher(Map.empty, Map.empty))
+    val p = out.head
+    assert(p.status == CrawlStatus.FETCH_SUCCESS)
+    assert(p.spans.nonEmpty && p.signature != null && p.signature.length == 16)
+  }
+
+  test("bounded admission: executor never materializes the whole fetchlist") {
+    // 10_000 tasks across 100 hosts stream through a small admission window
+    val tasks = for (i <- 1 to 10000) yield task(s"http://h${i % 100}.fix.test/p$i")
+    val it = PolitenessExecutor.run(0, tasks.iterator, ScriptedFetcher(Map.empty, Map.empty, latency = 0),
+      cfg.copy(serverDelayMs = 1, queueDepth = 4), t0, 1, _ => ())
+    var n = 0
+    while (it.hasNext) { it.next(); n += 1 }
+    assert(n == 10000)
+  }
+}
