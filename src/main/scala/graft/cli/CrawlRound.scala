@@ -43,25 +43,36 @@ object CrawlRound {
       now: Long
   ): Long = {
     import spark.implicits._
+    import org.apache.spark.sql.Observation
     val existing = store.load(spark, "frontier")
       .map(_.as[FrontierEntry])
       .getOrElse(spark.emptyDataset[FrontierEntry])
     val merged = Inject.run(existing, seedLines, cfg, now)
-    store.commit("frontier", merged.toDF(), round = 0)
-    merged.count()
+    val obs = Observation("inject")
+    store.commit("frontier", merged.toDF().observe(obs, count(lit(1)).as("n")), round = 0)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** One full crawl round over the given fetcher. Reads the frontier at the
-    * last committed snapshot, commits frontier/fetched/parsed at `round`. */
+    * last committed snapshot, commits frontier/fetched/parsed at `round`.
+    *
+    * Action economy (the 100 TB discipline): one round = 4 Spark jobs —
+    * fetched write (materializes generate→fetch), parsed write (from cached
+    * pages), the mark-back broadcast build, and the frontier write
+    * (updatedb shuffle + dedup). Every row count rides on those writes as
+    * an `Observation`; there are NO standalone .count() passes. */
   def run(
       spark: SparkSession,
       store: SnapshotStore,
       fetcher: Fetcher,
       cfg: CrawlConfig,
       round: Int,
-      now: Long
+      now: Long,
+      dedupEachRound: Boolean = true
   ): RoundStats = {
     import spark.implicits._
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.storage.StorageLevel
     val t0 = System.nanoTime()
 
     val frontier = store.load(spark, "frontier")
@@ -69,10 +80,9 @@ object CrawlRound {
       .as[FrontierEntry]
 
     // --- generate ---
-    val (fetchlist, markedFrontier) = Generator.generate(frontier, cfg, now, round)
-    // the fetchlist is consumed twice (fetch input + mark-back); persist it
-    fetchlist.persist()
-    val generated = fetchlist.count()
+    val (fetchlist0, markedFrontier) = Generator.generate(frontier, cfg, now, round)
+    // consumed twice (fetch input + mark-back broadcast); spill-tolerant cache
+    val fetchlist = fetchlist0.persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- fetch (politeness executor, partition-local) ---
     val metricsAcc: CollectionAccumulator[FetchPartitionMetrics] =
@@ -80,24 +90,36 @@ object CrawlRound {
     val pages: Dataset[FetchedPage] = fetchlist.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       PolitenessExecutor.run(pid, it, fetcher, cfg, now, round, metricsAcc.add(_))
-    }
-    pages.persist()
-    val fetchedPages = pages.count()
+    }.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- parse ---
-    val parsed = Parse.parsedDocs(pages)
-    val parsedCount = parsed.count()
-    store.commit("parsed", parsed.toDF(), round)
-    store.commit("fetched", pages.toDF().drop("spans"), round)
+    // job 1: write fetched (materializes generate → fetch → pages; counts observed)
+    val obsFetch = Observation(s"fetch_r$round")
+    store.commit("fetched",
+      pages.toDF().observe(obsFetch, count(lit(1)).as("fetched"))
+        .drop("spans"), round)
+    val fetchedPages = obsFetch.get("fetched").asInstanceOf[Long]
 
-    // --- updatedb ---
+    // job 2: write parsed (cached pages)
+    val obsParse = Observation(s"parse_r$round")
+    store.commit("parsed",
+      Parse.parsedDocs(pages).toDF().observe(obsParse, count(lit(1)).as("parsed")), round)
+    val parsedCount = obsParse.get("parsed").asInstanceOf[Long]
+
+    // --- updatedb (job 3: mark-back broadcast build; job 4: frontier write) ---
     val fetchUpdates = Parse.fetchUpdates(pages)
     val linked = Parse.linkedUpdates(pages, cfg, round)
     val newFrontier = UpdateDb.run(markedFrontier, fetchUpdates, linked, cfg, now)
-    val deduped = Dedup.markDuplicates(newFrontier)
-    store.commit("frontier", deduped.toDF(), round)
+    val finalFrontier = if (dedupEachRound) Dedup.markDuplicates(newFrontier) else newFrontier
+    val obsDb = Observation(s"updatedb_r$round")
+    store.commit("frontier",
+      finalFrontier.toDF().observe(obsDb,
+        count(lit(1)).as("size"),
+        count(when(col("status") === CrawlStatus.DB_UNFETCHED, 1)).as("unfetched")), round)
+    val frontierSize = obsDb.get("size").asInstanceOf[Long]
+    val unfetched = obsDb.get("unfetched").asInstanceOf[Long]
 
-    // --- per-partition lineage + metrics (north rule) ---
+    // --- per-partition lineage + metrics (north rule; from accumulators,
+    //     no extra pass) ---
     val fetchMetrics = metricsAcc.value
     import scala.jdk.CollectionConverters._
     val metricRows = fetchMetrics.asScala.toSeq.map(m =>
@@ -107,10 +129,7 @@ object CrawlRound {
     if (metricRows.nonEmpty)
       store.appendMetrics(spark.createDataset(metricRows).toDF(), round, "fetch")
     val virtualMsMax = if (fetchMetrics.isEmpty) 0L else fetchMetrics.asScala.map(_.virtual_ms).max
-
-    val committed = store.load(spark, "frontier").get
-    val frontierSize = committed.count()
-    val unfetched = committed.filter(col("status") === CrawlStatus.DB_UNFETCHED).count()
+    val generated = fetchMetrics.asScala.map(_.input_rows).sum
 
     fetchlist.unpersist()
     pages.unpersist()

@@ -149,6 +149,24 @@ case class SyntheticWeb(cfg: WebConfig) extends Serializable {
   def allUrls: Seq[String] =
     for (h <- 0 until cfg.nHosts; p <- 0 until pageCount(h)) yield pageUrl(h, p)
 
+  /** All page URLs, distributed (no rendering — cheap seed enumeration). */
+  def urls(spark: SparkSession): Dataset[String] = {
+    import spark.implicits._
+    val self = this
+    val hostStarts = (0 until cfg.nHosts).scanLeft(0L)((acc, h) => acc + pageCount(h))
+    val starts = hostStarts.toArray
+    val total = hostStarts.last
+    spark.range(0, total, 1, math.max(4, spark.sparkContext.defaultParallelism)).map { i =>
+      var lo = 0
+      var hi = cfg.nHosts - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (starts(mid) <= i) lo = mid else hi = mid - 1
+      }
+      self.pageUrl(lo, (i - starts(lo)).toInt)
+    }
+  }
+
   /** The authoritative `documents` input table (doc_id, spans), generated
     * distributed (no driver-side loop over pages). */
   def documents(spark: SparkSession): Dataset[Doc] = {

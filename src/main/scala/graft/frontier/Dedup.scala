@@ -23,27 +23,36 @@ object Dedup {
     import spark.implicits._
 
     val fetched = col("status") === CrawlStatus.DB_FETCHED || col("status") === CrawlStatus.DB_NOTMODIFIED
-    val keyCols = if (byDomain) Seq(col("signature"), col("domain")) else Seq(col("signature"))
-    val w = Window.partitionBy(keyCols: _*).orderBy(
-      desc("score"),
-      desc("fetch_time"),
-      // https preferred over http
-      when(col("url").startsWith("https://"), 0).otherwise(1).asc,
-      length(col("url")).asc,
-      col("url").asc // deterministic total tiebreak
-    )
+    val keyCols: Seq[org.apache.spark.sql.Column] =
+      if (byDomain) Seq(col("sig_hex"), col("domain")) else Seq(col("sig_hex"))
 
-    // Only fetched rows with a signature enter the window — the null-signature
-    // mass (unfetched/gone) would otherwise form one giant skewed partition.
+    // Skew-safe keep-best: NOT a window. Real crawls have mega-duplicate
+    // groups (boilerplate pages share one signature); a window would sort
+    // the whole group in one task. Instead: min_by aggregation (map-side
+    // partial combine absorbs the skew) + a join to mark the losers.
+    // The comparator chain (score desc, fetch_time desc, https over http,
+    // shorter url, url asc) is encoded as an orderable struct for min_by.
     val isCandidate = fetched && col("signature").isNotNull
     val candidates = frontier.toDF().filter(isCandidate)
+      .withColumn("sig_hex", hex(col("signature")))
     val rest = frontier.toDF().filter(!isCandidate)
 
+    val orderKey = struct(
+      (-col("score")).as("neg_score"),
+      (-col("fetch_time")).as("neg_time"),
+      when(col("url").startsWith("https://"), 0).otherwise(1).as("https_rank"),
+      length(col("url")).as("url_len"),
+      col("url").as("url"))
+    val best = candidates
+      .groupBy(keyCols: _*)
+      .agg(min_by(col("url"), orderKey).as("_keep_url"))
+
+    val joinKeys = if (byDomain) Seq("sig_hex", "domain") else Seq("sig_hex")
     val marked = candidates
-      .withColumn("_dup_rn", row_number().over(w))
+      .join(best, joinKeys)
       .withColumn("status",
-        when(col("_dup_rn") > 1, lit(CrawlStatus.DB_DUPLICATE)).otherwise(col("status")))
-      .drop("_dup_rn")
+        when(col("url") =!= col("_keep_url"), lit(CrawlStatus.DB_DUPLICATE)).otherwise(col("status")))
+      .drop("_keep_url", "sig_hex")
 
     marked.unionByName(rest).as[FrontierEntry]
   }

@@ -19,7 +19,8 @@ object GraftFunctions {
     "url_domain" -> ((es: Seq[Expression]) => RegisteredDomainOf(es.head)),
     "url_hash64" -> ((es: Seq[Expression]) => UrlHash64(es.head)),
     "url_hash_interleave" -> ((es: Seq[Expression]) => UrlHashInterleave(es.head)),
-    "url_accept" -> ((es: Seq[Expression]) => UrlAccept(es.head))
+    "url_accept" -> ((es: Seq[Expression]) => UrlAccept(es.head)),
+    "text_fingerprint64" -> ((es: Seq[Expression]) => TextFingerprint64(es.head))
   )
 
   /** Idempotent per-session registration. */

@@ -101,6 +101,19 @@ case class UrlHashInterleave(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_hash_interleave"
 }
 
+/** 64-bit rolling-hash document fingerprint (h = 31*h + char), codegen'd.
+  * The scale path for document fingerprinting: one pass, no tokenization. */
+case class TextFingerprint64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    graft.url.Urls.rollingHash64(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.url.Urls.rollingHash64($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "text_fingerprint64"
+}
+
 /** URL filter predicate (true = keep). */
 case class UrlAccept(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType

@@ -100,9 +100,11 @@ object Generator {
       .sortWithinPartitions(call_function("url_hash_interleave", col("url")))
 
     // mark-back join (reference Generator.java:1002-1040): stamp _ngt_.
-    // The selected set is ≤ topN rows (tiny vs the frontier) → broadcast,
-    // so the full frontier is never shuffled for the mark-back.
-    val sel = broadcast(selected.select(col("url").as("sel_url")).distinct())
+    // The selected set is ≤ topN rows (tiny vs the frontier): broadcast it
+    // when topN is broadcast-sized so the frontier is never shuffled;
+    // at very large topN fall back to a shuffle join (AQE decides).
+    val selRaw = selected.select(col("url").as("sel_url")).distinct()
+    val sel = if (cfg.topN <= 200000) broadcast(selRaw) else selRaw
     val updated = frontier
       .join(sel, frontier("url") === sel("sel_url"), "left_outer")
       .withColumn("generate_time",

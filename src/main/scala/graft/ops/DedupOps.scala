@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Four tiers, trading exactness for scale:
+  *  - exact:        hash-groupBy on content digest — one shuffle.
+  *  - unigramJaccard: exact set-similarity via token inverted index —
+  *    the oracle-mirrorable baseline (quadratic only within shared tokens).
+  *  - minhashLsh:   MinHash signatures + banded LSH buckets — candidates
+  *    are verified against exact shingle Jaccard; this is the 100 TB path:
+  *    cost is O(docs × hashes) + bucket-local joins, never all-pairs.
+  *  - simhash:      64-bit fingerprints + chunk-banding for hamming ≤ k —
+  *    near-dup at one long per doc.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups by content digest. */
+  def exactDups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("sig"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Distinct (doc_id, token) pairs of whitespace tokens. */
+  def docTokens(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+
+  /** Exact unigram-Jaccard pairs ≥ threshold (a < b). Inverted-index join:
+    * only documents sharing a token ever meet. */
+  def unigramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docTokens(docs)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Word n-gram shingles, hashed to 64 bits. */
+  def docShingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    docs
+      .select(col("doc_id"),
+        explode(
+          // sliding shingles: transform over start positions
+          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+        ).as("shingle"))
+      .distinct()
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+  }
+
+  /** MinHash signature matrix: the i-th "permutation" is xxhash64(sh, seed+i)
+    * — re-hashing beats affine (a*x+b) permutations here: better mixing, and
+    * no 64-bit multiply to trip ANSI overflow checking. One aggregation,
+    * numHashes min-columns wide (codegen'd). */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int, seed: Long): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      min(xxhash64(col("sh"), lit(seed + i))).as(s"mh_$i")
+    }
+    shingles.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + banded LSH candidate pairs, verified against exact shingle
+    * Jaccard ≥ threshold. bands × rowsPerBand must equal numHashes. */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shingles = docShingles(docs, shingleN).cache() // reused: signatures + verify
+    val sig = minhashSignatures(shingles, numHashes, seed)
+
+    // band buckets: hash of each band's minhash slice
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    // bucket-local pair generation (self-join within band+bucket)
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    // exact verification on candidates only (the LSH contract)
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shingles.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingles.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(col("sh_a") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc over token hashes weighted by frequency. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), xxhash64(col("token")).as("th"))
+      .agg(count(lit(1)).as("w"))
+    // per-bit weighted vote: sum(w * (bit ? +1 : -1)) > 0 → bit set.
+    // One aggregation with 64 conditional sums (codegen-friendly, no UDF).
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s_$b")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via
+    * 16-bit chunk banding (pigeonhole: ≤3 differing bits ⇒ ≥1 of 4 chunks
+    * equal), then exact popcount verify. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xffffL).as("v"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.v") === col("y.v") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  *  - bruteTopK: exact cosine top-k for a (small, broadcast) query set —
+  *    the correctness baseline. Dot products via zip_with + aggregate in
+  *    strict left-to-right order (the DuckDB oracle mirrors the same order,
+  *    so doubles agree bit-for-bit before rounding).
+  *  - cosinePairs: all-pairs ≥ threshold, blocked to keep it exact-but-bounded.
+  *  - lshTopK: random-hyperplane LSH buckets + exact re-rank inside the
+  *    bucket — the scale path: query cost is bucket-local, not corpus-wide.
+  */
+object SimilarityOps {
+
+  /** Strict left-to-right dot product of two array<float> columns (as double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine in floor-scaled basis points: floor(cos × 10⁴) of the identical
+    * IEEE double — engine-neutral (no round() path divergence). */
+  def cosineBp(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 10000).cast("long")
+
+  /** Exact cosine top-k of each query vector (vec_id ∈ queryIds) against the
+    * whole corpus. The query side is broadcast — no corpus shuffle. */
+  def bruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = broadcast(
+      emb.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = emb.crossJoin(q)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_bp", cosineBp(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_bp"), asc("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "vec_id", "cos_bp", "rnk")
+  }
+
+  /** All pairs with cosine ≥ threshold among vec_id < maxId (exact, bounded). */
+  def cosinePairs(emb: DataFrame, threshold: Double, maxId: Long): DataFrame = {
+    val e = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosineBp(col("a.embedding"), col("b.embedding")).as("cos_bp"))
+      .filter(col("cos_bp") >= (threshold * 10000).toLong)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight from a
+    * hash — avoids shipping a weight matrix; identical on every executor. */
+  private def planeWeight(p: Int, d: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), lit(p), d), lit(2001L)) - 1000L).cast("double") / 1000.0
+
+  /** Sign-random-projection bucket id from `planes` hyperplanes. */
+  def lshBucket(embCol: Column, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(embCol, sequence(lit(0), size(embCol) - 1),
+          (v, i) => v.cast("double") * planeWeight(p, i, seed)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: LSH-bucketed candidates re-ranked exactly. Queries see only
+    * their own bucket (plus its hamming-1 neighbors for recall). */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              planes: Int = 6, seed: Long = 42L): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes, seed))
+    val probes = (0 until planes).map(p => col("bucket").bitwiseXOR(shiftleft(lit(1L), p))) :+ col("bucket")
+    val q = broadcast(
+      bucketed.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          explode(array(probes: _*)).as("probe")))
+    val scored = bucketed
+      .join(q, col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_bp", cosineBp(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_bp"), asc("vec_id"))
+    scored
+      .select("qid", "vec_id", "cos_bp").distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

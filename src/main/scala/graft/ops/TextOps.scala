@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the `documents`
+  * table (doc_id, text, lang, source, n_chars).
+  *
+  * Every formula here is deliberately expressible in ANSI SQL with identical
+  * arithmetic (the DuckDB oracle mirrors it term-for-term): token counts via
+  * split, ratios via replace-counting, language ID via marker-word scoring.
+  * All of it is plain `functions._` — whole-stage codegen, no UDFs.
+  */
+object TextOps {
+
+  /** Occurrences of ` needle ` in the space-padded text (replace-count trick:
+    * identical semantics in Spark and DuckDB, no regex dialect risk). */
+  def occurrences(padded: Column, needle: String): Column =
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+
+  private def occPlain(padded: Column, needle: String): Column =
+    (length(padded) - length(replaceLit(padded, needle))) / needle.length
+
+  private def replaceLit(c: Column, s: String): Column =
+    call_function("replace", c, lit(s), lit(""))
+
+  /** Token counting: whitespace tokens of the trimmed text. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), " ")).as("n_tokens"),
+      length(col("text")).as("n_chars_actual")
+    )
+
+  /** Quality scoring: length, word stats, stopword ratio, composite score. */
+  def quality(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val words = size(split(trim(col("text")), " ")).cast("double")
+    val stops = (occPlain(padded, " the ") + occPlain(padded, " a ") + occPlain(padded, " and ")).cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("chars"),
+      words.cast("long").as("words"),
+      round(length(replaceLit(col("text"), " ")).cast("double") / words, 4).as("avg_word_len"),
+      round(stops / words, 4).as("stop_ratio"),
+      round(least(words / lit(50.0), lit(1.0)) * (lit(1.0) - stops / words), 4).as("quality_score")
+    )
+  }
+
+  /** Language-ID heuristic: marker-word scores, argmax with fixed priority.
+    * (A real n-gram model would not be oracle-mirrorable; the marker-count
+    * heuristic is the deterministic stand-in with identical SQL.) */
+  def langGuess(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def score(markers: Seq[String]): Column =
+      markers.map(m => occPlain(padded, s" $m ")).reduce(_ + _)
+    val en = score(Seq("the", "and", "of"))
+    val es = score(Seq("el", "la", "que"))
+    val de = score(Seq("der", "und", "die"))
+    val fr = score(Seq("le", "et", "les"))
+    docs.select(
+      col("doc_id"),
+      col("lang").as("lang_labeled"),
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("und").as("lang_guess")
+    )
+  }
+
+  /** Position-weighted character fingerprint: sum(ascii(c_i) * i) over the
+    * 1-based character positions — deterministic, oracle-mirrorable.
+    * (The production-scale rolling hash is the native text_fingerprint64
+    * expression; this variant exists for exact SQL parity.) */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      (aggregate(
+        transform(split(col("text"), ""), (c, i) => ascii(c).cast("long") * (i + 1).cast("long")),
+        lit(0L),
+        (acc, x) => acc + x
+      ) % 1000000007L).as("fingerprint")
+    )
+}

@@ -23,13 +23,18 @@ import graft.schema.{CrawlStatus, FrontierUpdate, ParsedDoc}
   */
 object Parse {
 
-  /** The parsed interleaved-documents table (the authoritative output shape). */
+  /** The parsed interleaved-documents table (the authoritative output shape).
+    * Untyped projection: a typed filter/map here would deserialize every
+    * span array through the encoder twice — the projection is pure column
+    * shuffling, so it stays in Tungsten rows. */
   def parsedDocs(pages: Dataset[FetchedPage]): Dataset[ParsedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages
-      .filter(_.status == CrawlStatus.FETCH_SUCCESS)
-      .map(p => ParsedDoc(p.url, p.spans, p.round, p.signature, p.score))
+    pages.toDF()
+      .filter(col("status") === CrawlStatus.FETCH_SUCCESS.toInt)
+      .select(col("url").as("doc_id"), col("spans"), col("round"),
+        col("signature"), col("score"))
+      .as[ParsedDoc]
   }
 
   /** Exploded, canonicalized, score-carrying outlinks → linked frontier
@@ -61,14 +66,40 @@ object Parse {
           .otherwise(col("score") / col("n") *
             when(col("internal"), lit(cfg.scoreInternalFactor)).otherwise(lit(cfg.scoreExternalFactor))))
 
-    exploded.select(
+    // Pre-aggregate credits per target URL BEFORE the updatedb shuffle:
+    // map-side partial combine turns ~(pages × fanout) rows into one row per
+    // distinct target — the single biggest shuffle reducer in the round.
+    // Exactness of the inlink cap (db.update.max.inlinks) is preserved:
+    // URLs within the cap get sum == capped sum; the rare over-cap URLs are
+    // resolved exactly against the raw credits (top-K by score).
+    val perLink = exploded.select(col("to_url"), col("fetch_time"), col("child_score"))
+    val agg = perLink
+      .groupBy(col("to_url"))
+      .agg(sum(col("child_score")).as("credit"),
+        count(lit(1)).as("n_links"),
+        max(col("fetch_time")).as("fetch_time"))
+
+    val within = agg.filter(col("n_links") <= cfg.maxInlinks)
+      .select(col("to_url"), col("credit"), col("fetch_time"))
+    val overKeys = agg.filter(col("n_links") > cfg.maxInlinks)
+      .select(col("to_url"), col("fetch_time"))
+    val overResolved = perLink
+      .join(overKeys.select(col("to_url")).hint("broadcast"), Seq("to_url"), "left_semi")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("to_url").orderBy(desc("child_score"))))
+      .filter(col("_rk") <= cfg.maxInlinks)
+      .groupBy(col("to_url"))
+      .agg(sum(col("child_score")).as("credit"), max(col("fetch_time")).as("fetch_time"))
+    val credits = within.unionByName(overResolved)
+
+    credits.select(
       col("to_url").as("url"),
       lit("linked").as("kind"),
       lit(CrawlStatus.DB_UNFETCHED).as("status"),
       col("fetch_time"),
       lit(0).as("retries"),
       lit(cfg.fetchIntervalDefault).as("fetch_interval"),
-      col("child_score").cast("float").as("score"),
+      col("credit").cast("float").as("score"),
       lit(null).cast("binary").as("signature"),
       lit(0L).as("modified_time"),
       lit(null).cast("string").as("repr_url"),

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.frontier.{CrawlConfig, DefaultFetchSchedule, UpdateDb}
+import graft.schema.FrontierUpdate
+
+/** Relational realizations of the crawl operator inventory (SURVEY.md §2)
+  * over the driver's TPC-H-ish tables — each query exercises one operator
+  * shape through the exact Spark plan the crawl engine uses, and each has a
+  * DuckDB-mirrorable formula (see SparkEntry.oracleSql).
+  *
+  * Float discipline for oracle parity: per-row double arithmetic is IEEE-
+  * identical across engines; SUMS go through decimal(18,4) (exact) before
+  * any division; outputs are rounded.
+  */
+object Relational {
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")
+  def events(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/events.parquet")
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** §2.2 scan + filter + project (pushdown-friendly). */
+  def scanFilterProject(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") < lit(java.sql.Date.valueOf("1996-01-01")) && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // money arithmetic stays in exact decimals until the final cast:
+        // round(double) differs between engines at scale boundaries
+        round(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+
+  /** §2.4 CrawlDb-stats-style aggregation by status. */
+  def aggStats(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2).cast("double").as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  /** §2.3 inject: full-outer merge of a seed set into an existing db. */
+  def injectMerge(s: SparkSession, dir: String): DataFrame = {
+    val seeds = orders(s, dir).select(col("o_custkey")).distinct()
+    customer(s, dir)
+      .join(seeds, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("key"),
+        when(col("c_custkey").isNull, "injected")
+          .when(col("o_custkey").isNull, "old")
+          .otherwise("merged").as("merge_status"))
+  }
+
+  /** §2.3 merge-tool: latest-record-wins co-group by key. */
+  def latestWins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_order"), col("o_orderstatus").as("latest_status"))
+  }
+
+  /** §2.5 generator: per-host top-N by descending score. */
+  def generateTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+  }
+
+  /** §2.5 global top-N dump. */
+  def globalTopN(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** §2.4 hostdb-style per-group counters. */
+  def hostAgg(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")), 2).cast("double").as("sum_bal"),
+        count(when(col("c_acctbal") < 0, 1)).as("n_negative"))
+
+  /** §2.3/§2.4 linkdb inversion with inlink cap. */
+  def linkInvert(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_inlinks"),
+        least(countDistinct(col("l_orderkey")), lit(5)).as("capped_inlinks"),
+        min(col("l_orderkey")).as("first_inlink"))
+
+  /** §2.9 OPIC: score distributed over a page's outlinks (share-per-child). */
+  def opicDistribute(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+    lineitem(s, dir)
+      .withColumn("total", sum(col("l_extendedprice").cast("decimal(18,4)")).over(w))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // floor of the ppm-scaled identical double: engine-neutral, no rounding path
+        floor(col("l_extendedprice") / col("total").cast("double") * 1000000).cast("long").as("share_ppm"))
+  }
+
+  /** URL-seen resolution: anti-join of candidates against the seen set. */
+  def seenAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val seen = customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    orders(s, dir)
+      .join(seen, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_unseen"))
+  }
+
+  /** §2.4 dedup keep-best: comparator chain, first survives, rest marked. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), desc("o_orderdate"), asc("o_orderkey"))
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .select(col("o_orderkey"), (col("rn") > 1).as("is_duplicate"))
+  }
+
+  /** §2.10 the updatedb state machine, driven through the REAL distributed
+    * merge (groupByKey.flatMapGroups over FrontierUpdate rows synthesized
+    * from orders). The oracle re-states the expected transitions as SQL CASE. */
+  def stateTransition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = CrawlConfig()
+    val schedule = DefaultFetchSchedule(cfg)
+    val now = 1700000000000L
+
+    val base = orders(s, dir).select(
+      concat(lit("u"), col("o_orderkey").cast("string")).as("url"),
+      when(col("o_orderstatus") === "O", 1).when(col("o_orderstatus") === "F", 2).otherwise(6)
+        .cast("byte").as("old_status"),
+      when(col("o_orderpriority") === "1-URGENT", 0x21)
+        .when(col("o_orderpriority") === "2-HIGH", 0x22)
+        .when(col("o_orderpriority") === "3-MEDIUM", 0x25)
+        .when(col("o_orderpriority") === "4-NOT SPECIFIED", 0x23)
+        .otherwise(0x24).cast("byte").as("fetch_status"),
+      (col("o_orderkey") % 4).cast("int").as("retries"))
+
+    val olds = base.select(col("url"), lit("old").as("kind"), col("old_status").as("status"),
+      lit(now - 1000L).as("fetch_time"), col("retries"),
+      lit(cfg.fetchIntervalDefault).as("fetch_interval"), lit(1.0f).as("score"),
+      lit(null).cast("binary").as("signature"), lit(0L).as("modified_time"),
+      lit(null).cast("string").as("repr_url"),
+      typedLit(Map.empty[String, String]).as("metadata")).as[FrontierUpdate]
+    val fetches = base.select(col("url"), lit("fetch").as("kind"), col("fetch_status").as("status"),
+      lit(now).as("fetch_time"), col("retries"),
+      lit(cfg.fetchIntervalDefault).as("fetch_interval"), lit(1.0f).as("score"),
+      lit(null).cast("binary").as("signature"), lit(0L).as("modified_time"),
+      lit(null).cast("string").as("repr_url"),
+      typedLit(Map.empty[String, String]).as("metadata")).as[FrontierUpdate]
+
+    olds.unionByName(fetches)
+      .groupByKey(_.url)
+      .flatMapGroups((url, it) => UpdateDb.merge(url, it, cfg, schedule, now).iterator)
+      .select(col("url"), col("status").cast("int").as("new_status"), col("retries").as("new_retries"))
+  }
+
+  /** §2.11 incremental/streaming shape: tumbling-window aggregation. */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** §2.7 canonicalization through the native Catalyst expression. */
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("HTTP://Host-"), (col("doc_id") % 50).cast("string"),
+          lit(".Example.COM:80/"), col("source"), lit("/../"), col("source"),
+          lit("/?id="), col("doc_id").cast("string"), lit("&PHPSESSID=zz#frag")).as("raw"))
+      .select(col("doc_id"), call_function("url_canonicalize", col("raw")).as("canon"),
+        call_function("url_host", call_function("url_canonicalize", col("raw"))).as("host"))
+  }
+}

@@ -268,6 +268,19 @@ object Urls {
     murmur64(data, data.length, 0x9747b28cL)
   }
 
+  /** 64-bit rolling hash over characters (h = 31*h + c): the classic
+    * polynomial fingerprint, one pass, allocation-free. */
+  def rollingHash64(s: String): Long = {
+    if (s == null) return 0L
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < s.length) {
+      h = 31 * h + s.charAt(i)
+      i += 1
+    }
+    h
+  }
+
   /** MurmurHash2 64-bit (public-domain algorithm, Austin Appleby). */
   private def murmur64(data: Array[Byte], length: Int, seed: Long): Long = {
     val m = 0xc6a4a7935bd1e995L

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Training-data pipeline operators: sketches validated against their exact
+  * counterparts (the property that matters at scale: no false "done"). */
+class OpsSpec extends AnyFunSuite with SparkSpecBase {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents + exact copies (dup positives) + near-copies (one word changed). */
+  lazy val augmented = {
+    val base = docs.select("doc_id", "text")
+    val exact = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") < 15)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" zzzz")).as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  test("minhash LSH finds every exact duplicate pair (jaccard 1.0)") {
+    val pairs = DedupOps.minhashLshPairs(augmented, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 15L)
+      assert(pairs.contains((i, i + 10000)), s"exact dup pair ($i, ${i + 10000}) missed")
+  }
+
+  test("minhash LSH candidates achieve high recall vs exact jaccard at 0.7") {
+    val exact = DedupOps.unigramJaccardPairs(augmented, 0.9) // unigram proxy ≈ high shingle overlap
+    val gotExact = DedupOps.minhashLshPairs(augmented, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every near-dup (text + one token) must surface as an LSH candidate
+    val nearPairs = (0L until 15L).map(i => (i, i + 20000))
+    val found = nearPairs.count(gotExact.contains)
+    assert(found >= 13, s"near-dup recall too low: $found/15")
+  }
+
+  test("minhash LSH never reports a pair below its verify threshold (no false positives)") {
+    val got = DedupOps.minhashLshPairs(augmented, threshold = 0.8).collect()
+    assert(got.forall(_.getDouble(2) >= 0.8), "verification stage must filter sub-threshold candidates")
+  }
+
+  test("simhash: identical docs distance 0; near-dups within small distance") {
+    val sh = DedupOps.simhash(augmented).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L until 15L) {
+      assert(sh(i) == sh(i + 10000), s"identical text must give identical simhash ($i)")
+      val d = java.lang.Long.bitCount(sh(i) ^ sh(i + 20000))
+      assert(d <= 16, s"near-dup simhash distance too large: $d for doc $i")
+    }
+    val pairs = DedupOps.simhashPairs(augmented, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 15L) assert(pairs.contains((i, i + 10000)))
+  }
+
+  /** Planted clustered corpus: 20 tight clusters × 25 members. (The driver's
+    * embeddings table is uniform random — same-label mean cosine ≈ 0.004 —
+    * where NO sublinear ANN can beat sampling; recall is a property of
+    * clustered data, so the property test plants clusters.) */
+  lazy val planted = {
+    import spark.implicits._
+    val dim = 64
+    val rows = for {
+      c <- 0 until 20
+      m <- 0 until 25
+    } yield {
+      val cr = new scala.util.Random(1000 + c)
+      val center = Array.fill(dim)(cr.nextGaussian().toFloat)
+      val mr = new scala.util.Random(c * 100 + m)
+      val v = center.zip(Array.fill(dim)(mr.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b }
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (c * 25L + m, v.map(_ / n).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("ANN (LSH) top-k recall ≥ 0.8 vs brute force on clustered data") {
+    val qids = (0 until 8).map(_ * 25L) // one query per cluster
+    val brute = SimilarityOps.bruteTopK(planted, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.lshTopK(planted, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ann.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall $recall too low (got ${ann.size} pairs)")
+  }
+
+  test("ANN over the driver embeddings table runs end-to-end (plumbing smoke)") {
+    val ann = SimilarityOps.lshTopK(emb, 0L until 8L, 5).collect()
+    assert(ann.length == 40)
+    assert(ann.forall(_.getInt(3) <= 5))
+  }
+
+  test("exact dedup groups: identical text, same signature, min doc_id canonical") {
+    val dups = DedupOps.exactDups(augmented).collect()
+    assert(dups.length == 15)
+    assert(dups.forall(_.getLong(2) == 2)) // each group: original + copy
+    assert(dups.forall(_.getLong(1) < 15)) // canonical is the original
+  }
+
+  test("text fingerprints: stable, distinct across docs, golden value") {
+    val fp = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextOps.fingerprint(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp == fp2)
+    assert(fp.values.toSet.size > 450, "fingerprints must be discriminative")
+    // golden: rolling hash native expression pinned
+    assert(graft.url.Urls.rollingHash64("abc") == ((1125899906842597L * 31 + 'a') * 31 + 'b') * 31 + 'c')
+  }
+
+  test("multimodal decode stub: deterministic, typed, partition-local") {
+    val meta = MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs)).collect()
+    assert(meta.length == docs.count())
+    assert(meta.forall(m => m.width >= 64 && m.width < 640 && m.height >= 64 && m.height < 480))
+    assert(meta.forall(m => Set("png", "jpeg", "webp").contains(m.format)))
+    val again = MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs)).collect()
+    assert(meta.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("quality + langGuess run over full table without nulls") {
+    val q = TextOps.quality(docs)
+    assert(q.filter(col("quality_score").isNull).count() == 0)
+    val lg = TextOps.langGuess(docs)
+    assert(lg.filter(col("lang_guess").isNull).count() == 0)
+  }
+}
