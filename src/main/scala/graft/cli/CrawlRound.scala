@@ -31,7 +31,8 @@ object CrawlRound {
       frontierSize: Long,
       frontierUnfetched: Long,
       wallMs: Long,
-      virtualMsMax: Long
+      virtualMsMax: Long,
+      stageMs: Map[String, Long] = Map.empty
   )
 
   /** Round 0: seed the frontier. */
@@ -74,6 +75,13 @@ object CrawlRound {
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel
     val t0 = System.nanoTime()
+    val stageMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def timed[A](name: String)(f: => A): A = {
+      val s = System.nanoTime()
+      val r = f
+      stageMs.update(name, (System.nanoTime() - s) / 1000000)
+      r
+    }
 
     val frontier = store.load(spark, "frontier")
       .getOrElse(throw new IllegalStateException("no frontier — run inject first"))
@@ -94,27 +102,39 @@ object CrawlRound {
 
     // job 1: write fetched (materializes generate → fetch → pages; counts observed)
     val obsFetch = Observation(s"fetch_r$round")
-    store.commit("fetched",
-      pages.toDF().observe(obsFetch, count(lit(1)).as("fetched"))
-        .drop("spans"), round)
+    timed("generate+fetch+write") {
+      store.commit("fetched",
+        pages.toDF().observe(obsFetch, count(lit(1)).as("fetched"))
+          .drop("spans"), round)
+    }
     val fetchedPages = obsFetch.get("fetched").asInstanceOf[Long]
 
     // job 2: write parsed (cached pages)
     val obsParse = Observation(s"parse_r$round")
-    store.commit("parsed",
-      Parse.parsedDocs(pages).toDF().observe(obsParse, count(lit(1)).as("parsed")), round)
+    timed("parse+write") {
+      store.commit("parsed",
+        Parse.parsedDocs(pages).toDF().observe(obsParse, count(lit(1)).as("parsed")), round)
+    }
     val parsedCount = obsParse.get("parsed").asInstanceOf[Long]
 
     // --- updatedb (job 3: mark-back broadcast build; job 4: frontier write) ---
     val fetchUpdates = Parse.fetchUpdates(pages)
     val linked = Parse.linkedUpdates(pages, cfg, round)
-    val newFrontier = UpdateDb.run(markedFrontier, fetchUpdates, linked, cfg, now)
+    val newFrontier0 =
+      if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(markedFrontier, fetchUpdates, linked, cfg, now)
+      else UpdateDb.run(markedFrontier, fetchUpdates, linked, cfg, now)
+    // dedup consumes the merged frontier three times (candidates, keep-best
+    // aggregation, pass-through rest): persist so the merge runs once
+    val newFrontier =
+      if (dedupEachRound) newFrontier0.persist(StorageLevel.MEMORY_AND_DISK) else newFrontier0
     val finalFrontier = if (dedupEachRound) Dedup.markDuplicates(newFrontier) else newFrontier
     val obsDb = Observation(s"updatedb_r$round")
-    store.commit("frontier",
-      finalFrontier.toDF().observe(obsDb,
-        count(lit(1)).as("size"),
-        count(when(col("status") === CrawlStatus.DB_UNFETCHED, 1)).as("unfetched")), round)
+    timed("updatedb+dedup+write") {
+      store.commit("frontier",
+        finalFrontier.toDF().observe(obsDb,
+          count(lit(1)).as("size"),
+          count(when(col("status") === CrawlStatus.DB_UNFETCHED, 1)).as("unfetched")), round)
+    }
     val frontierSize = obsDb.get("size").asInstanceOf[Long]
     val unfetched = obsDb.get("unfetched").asInstanceOf[Long]
 
@@ -133,9 +153,10 @@ object CrawlRound {
 
     fetchlist.unpersist()
     pages.unpersist()
+    if (dedupEachRound) newFrontier.unpersist()
 
     RoundStats(round, generated, fetchedPages, parsedCount, frontierSize, unfetched,
-      (System.nanoTime() - t0) / 1000000, virtualMsMax)
+      (System.nanoTime() - t0) / 1000000, virtualMsMax, stageMs.toMap)
   }
 
   /** Resume-aware multi-round driver: continues after the last committed

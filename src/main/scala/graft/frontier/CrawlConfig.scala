@@ -19,6 +19,7 @@ case class CrawlConfig(
     adaptiveIncRate: Float = 0.4f,               // db.fetch.schedule.adaptive.inc_rate
     adaptiveDecRate: Float = 0.2f,               // db.fetch.schedule.adaptive.dec_rate
     adaptiveMinInterval: Int = 60,               // ...adaptive.min_interval (s)
+    columnarUpdateDb: Boolean = true,            // whole-stage-codegen updatedb (UpdateDbColumnar)
     // generator
     topN: Long = 50000,                          // SIZE_FETCHLIST
     maxPerHost: Int = 100,                       // generate.max.count (mode host)

@@ -64,6 +64,18 @@ class SnapshotStore(val root: String) extends Serializable {
   /** Last committed round of the frontier = the resume checkpoint. */
   def lastCompletedRound: Option[Int] = current("frontier").map(_.round)
 
+  /** Point the manifest back at an existing historical round (time travel as
+    * state reset — the snapshot data is immutable, only the pointer moves). */
+  def resetTo(table: String, round: Int): Unit = {
+    val dataPath = tableDir(table).resolve(s"r$round")
+    require(Files.exists(dataPath), s"no snapshot $table/r$round")
+    val snap = Snapshot(table, round, dataPath.toString, System.currentTimeMillis())
+    val tmp = tableDir(table).resolve("_manifest.json.tmp")
+    Files.writeString(tmp, manifestJson(snap), StandardCharsets.UTF_8)
+    Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Append-only metrics table (one parquet dir per round+stage). */
   def appendMetrics(df: DataFrame, round: Int, stage: String): Unit =
     df.write.mode("overwrite").parquet(tableDir("round_metrics").resolve(s"r$round-$stage").toString)

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cli.CrawlRound
+import graft.fixtures.{SyntheticWeb, WebConfig}
+import graft.frontier.CrawlConfig
+
+/** Differential test: the whole-stage-codegen updatedb (UpdateDbColumnar)
+  * must produce byte-identical frontiers to the typed reference merge
+  * (UpdateDb.merge) over full multi-round crawls — both schedules. */
+class UpdateDbColumnarSpec extends AnyFunSuite with SparkSpecBase {
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graft-col").toString
+
+  def frontierOf(cfg: CrawlConfig): org.apache.spark.sql.DataFrame = {
+    val web = SyntheticWeb(WebConfig(nHosts = 8, pagesPerHost = 14, hotFactor = 3))
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 3, tmp())
+    store.load(spark, "frontier").get
+      .select("url", "status", "fetch_time", "retries", "fetch_interval",
+        "score", "modified_time", "repr_url", "generate_time", "url_hash", "host", "domain")
+  }
+
+  def assertSame(cfgBase: CrawlConfig): Unit = {
+    val typed = frontierOf(cfgBase.copy(columnarUpdateDb = false))
+    val columnar = frontierOf(cfgBase.copy(columnarUpdateDb = true))
+    assert(typed.count() == columnar.count())
+    val onlyTyped = typed.exceptAll(columnar)
+    val onlyCol = columnar.exceptAll(typed)
+    val d1 = onlyTyped.collect()
+    val d2 = onlyCol.collect()
+    assert(d1.isEmpty && d2.isEmpty,
+      s"typed-only:\n${d1.take(5).mkString("\n")}\ncolumnar-only:\n${d2.take(5).mkString("\n")}")
+  }
+
+  val base = CrawlConfig(topN = 400, maxPerHost = 60, numFetchPartitions = 3,
+    serverDelayMs = 300, fetchLatencyMs = 10)
+
+  test("columnar ≡ typed over 3 rounds, default schedule") {
+    assertSame(base)
+  }
+
+  test("columnar ≡ typed over 3 rounds, adaptive schedule") {
+    assertSame(base.copy(adaptiveSchedule = true))
+  }
+
+  test("columnar ≡ typed with purge404 and no additions") {
+    assertSame(base.copy(purge404 = true, additionsAllowed = false))
+  }
+}
