@@ -1,0 +1,71 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.fetch.Fetcher
+import graft.frontier.CrawlConfig
+import graft.store.SnapshotStore
+
+/** The user-facing programmatic API (the reference's NutchTool/REST surface,
+  * SURVEY.md §3.2, re-expressed as a plain Scala facade over typed Datasets):
+  *
+  * {{{
+  * val crawl = Crawl(spark, "/data/crawl", cfg, fetcher)
+  * crawl.inject(seedLines)
+  * crawl.rounds(5)                       // resumes after the last commit
+  * crawl.frontier.show()                 // CrawlDbReader-style inspection
+  * crawl.stats.show()
+  * crawl.url("http://example.com/")      // point lookup
+  * }}}
+  */
+case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetcher: Fetcher,
+                 startTimeMs: Long = 1700000000000L, roundIntervalMs: Long = 24L * 3600 * 1000) {
+
+  val store = new SnapshotStore(storeRoot)
+
+  def inject(seedLines: Dataset[String]): Long =
+    CrawlRound.inject(spark, store, seedLines, cfg, startTimeMs)
+
+  /** Run one round (resume-aware: continues after the last committed round). */
+  def round(): CrawlRound.RoundStats = rounds(1).head
+
+  def rounds(n: Int): Seq[CrawlRound.RoundStats] =
+    CrawlRound.crawl(spark, store, fetcher, cfg, n, startTimeMs, roundIntervalMs)
+
+  // ---- inspection (CrawlDbReader/SegmentReader verbs, SURVEY.md §3.3) ----
+
+  def frontier: DataFrame =
+    store.load(spark, "frontier").getOrElse(spark.emptyDataFrame)
+
+  def fetched(round: Int): Option[DataFrame] = store.loadRound(spark, "fetched", round)
+  def parsed(round: Int): Option[DataFrame] = store.loadRound(spark, "parsed", round)
+  def hostStats: Option[DataFrame] = store.load(spark, "host_stats")
+  def linkDb: Option[DataFrame] = store.load(spark, "linkdb")
+  def metrics: Option[DataFrame] = store.metrics(spark)
+
+  /** CrawlDb stats: count/min/max/avg per status (reader `stats` verb). */
+  def stats: DataFrame = {
+    import org.apache.spark.sql.functions._
+    frontier.groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"), avg(col("score")).as("avg_score"),
+        min(col("fetch_time")).as("min_fetch_time"), max(col("fetch_time")).as("max_fetch_time"))
+      .orderBy(col("status"))
+  }
+
+  /** Global top-N by score (reader `topN` verb). */
+  def topN(n: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    frontier.orderBy(desc("score"), asc("url")).limit(n)
+  }
+
+  /** Point lookup (reader `url` verb) — parquet min/max pruning on url_hash
+    * makes this a partial scan at scale. */
+  def url(u: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = graft.url.Urls.hash64(graft.url.Urls.canonicalize(u))
+    frontier.filter(col("url_hash") === h && col("url") === graft.url.Urls.canonicalize(u))
+  }
+
+  def lastRound: Int = store.lastCompletedRound.getOrElse(0)
+}

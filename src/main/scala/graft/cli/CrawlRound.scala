@@ -87,8 +87,19 @@ object CrawlRound {
       .getOrElse(throw new IllegalStateException("no frontier — run inject first"))
       .as[FrontierEntry]
 
+    // hot-host salting from the previous round's host stats (data-driven
+    // generate-domain-limits): hosts with big pending mass spread over k keys
+    val hostSalt: Map[String, Int] =
+      if (!cfg.updateHostDb) Map.empty
+      else store.load(spark, "host_stats")
+        .map(df => graft.frontier.HostDb.hotHostSalt(
+          df.as[graft.schema.HostStats],
+          hotThreshold = math.max(cfg.maxPerHost.toLong * 4, cfg.topN / math.max(1, cfg.numFetchPartitions)),
+          perPartitionTarget = math.max(1L, cfg.topN / math.max(1, cfg.numFetchPartitions))))
+        .getOrElse(Map.empty)
+
     // --- generate ---
-    val (fetchlist0, markedFrontier) = Generator.generate(frontier, cfg, now, round)
+    val (fetchlist0, markedFrontier) = Generator.generate(frontier, cfg, now, round, hostSalt)
     // consumed twice (fetch input + mark-back broadcast); spill-tolerant cache
     val fetchlist = fetchlist0.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -137,6 +148,15 @@ object CrawlRound {
     }
     val frontierSize = obsDb.get("size").asInstanceOf[Long]
     val unfetched = obsDb.get("unfetched").asInstanceOf[Long]
+
+    // --- optional per-round side tables ---
+    if (cfg.updateHostDb) timed("hostdb") {
+      val committed = store.load(spark, "frontier").get.as[FrontierEntry]
+      store.commit("host_stats", graft.frontier.HostDb.fromFrontier(committed, now).toDF(), round)
+    }
+    if (cfg.invertLinks) timed("invertlinks") {
+      store.commit("linkdb", graft.frontier.LinkDb.invert(pages, cfg.maxInlinks), round)
+    }
 
     // --- per-partition lineage + metrics (north rule; from accumulators,
     //     no extra pass) ---

@@ -31,5 +31,9 @@ case class SyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher 
     case RedirectPerm(to) => ProtocolResponse("MOVED", to, null, null, latencyMs)
     case ServerError      => ProtocolResponse("RETRY", null, null, null, latencyMs)
   }
-  override def robots(host: String): RobotsPolicy = web.robots(host)
+  /** Fetch + parse the host's real robots.txt body (5xx body → defer). */
+  override def robots(host: String): RobotsPolicy = web.robotsTxt(host) match {
+    case None       => RobotsPolicy.Unavailable5xx
+    case Some(body) => Robots.toPolicy(Robots.parse(body, "graftbot"))
+  }
 }

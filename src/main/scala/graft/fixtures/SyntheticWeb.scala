@@ -92,6 +92,15 @@ case class SyntheticWeb(cfg: WebConfig) extends Serializable {
     }
   }
 
+  /** The robots.txt BODY a host serves (None = robots endpoint 5xx).
+    * Real text, so the fetch stack exercises the actual robots parser. */
+  def robotsTxt(host: String): Option[String] = robots(host) match {
+    case RobotsPolicy.AllowAll => Some("User-agent: *\nDisallow:\n")
+    case RobotsPolicy.DenyAll => Some("User-agent: *\nDisallow: /\n")
+    case RobotsPolicy.CrawlDelay(s) => Some(s"User-agent: *\nDisallow:\nCrawl-delay: $s\n")
+    case RobotsPolicy.Unavailable5xx => None
+  }
+
   /** Fetch behavior per URL: ~82% ok, 5% 404, 7% redirects, 6% 5xx. */
   def behavior(url: String): PageBehavior =
     locate(url) match {

@@ -27,6 +27,8 @@ case class CrawlConfig(
     generateDelayMs: Long = 7L * 24 * 3600 * 1000, // crawl.gen.delay (re-generate block)
     numFetchPartitions: Int = 8,                 // ≙ fetch task count
     minScore: Float = Float.NegativeInfinity,    // generate.min.score
+    updateHostDb: Boolean = true,                // per-round host_stats + hot-host salt feedback
+    invertLinks: Boolean = false,                // per-round linkdb inversion (optional, like the reference)
     // fetch politeness
     serverDelayMs: Long = 5000,                  // fetcher.server.delay
     minCrawlDelayMs: Long = 0,                   // fetcher.min.crawl.delay

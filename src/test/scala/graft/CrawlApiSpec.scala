@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cli.Crawl
+import graft.fetch.SyntheticFetcher
+import graft.fixtures.{SyntheticWeb, WebConfig}
+import graft.frontier.{CrawlConfig, HostDb, LinkDb}
+import graft.schema.FrontierEntry
+
+/** The programmatic facade + hostdb/linkdb side tables end-to-end. */
+class CrawlApiSpec extends AnyFunSuite with SparkSpecBase {
+
+  val web = SyntheticWeb(WebConfig(nHosts = 6, pagesPerHost = 10))
+  val cfg = CrawlConfig(topN = 200, maxPerHost = 50, numFetchPartitions = 2,
+    serverDelayMs = 100, fetchLatencyMs = 5, invertLinks = true)
+
+  lazy val crawl: Crawl = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-api").toString
+    val c = Crawl(spark, root, cfg, SyntheticFetcher(web, cfg.fetchLatencyMs))
+    c.inject(web.seedUrls.toDS())
+    c.rounds(2)
+    c
+  }
+
+  test("facade: inject + rounds + inspection verbs") {
+    assert(crawl.lastRound == 2)
+    assert(crawl.frontier.count() > web.cfg.nHosts)
+    assert(crawl.stats.collect().nonEmpty)
+    assert(crawl.topN(5).count() == 5)
+    assert(crawl.fetched(1).get.count() > 0)
+    assert(crawl.parsed(2).get.count() > 0)
+    assert(crawl.metrics.get.count() > 0)
+  }
+
+  test("point lookup resolves through canonicalization") {
+    val seed = web.seedUrls.head
+    val messy = seed.toUpperCase.replace("HTTP://", "HTTP://") + "#frag"
+    val hit = crawl.url(seed).collect()
+    assert(hit.length == 1 && hit.head.getAs[String]("url") == seed)
+  }
+
+  test("host_stats committed and consistent with the frontier") {
+    val hs = crawl.hostStats.get
+    val fromFrontier = crawl.frontier.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- hs.collect()) {
+      val host = r.getAs[String]("host")
+      val total = r.getAs[Long]("unfetched") + r.getAs[Long]("fetched") +
+        r.getAs[Long]("not_modified") + r.getAs[Long]("redir_temp") +
+        r.getAs[Long]("redir_perm") + r.getAs[Long]("gone")
+      // db_duplicate rows are not counted by the six status counters
+      assert(total <= fromFrontier(host))
+    }
+  }
+
+  test("linkdb inversion: inlinks land on real targets, capped, anchors kept") {
+    val ldb = crawl.linkDb.get
+    assert(ldb.count() > 0)
+    val row = ldb.orderBy(desc("n_inlinks")).collect().head
+    val inlinks = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("inlinks")
+    assert(inlinks.nonEmpty)
+    assert(inlinks.forall(_.getAs[String]("from_url").startsWith("http://")))
+    assert(row.getAs[Long]("n_inlinks") == inlinks.size)
+  }
+
+  test("linkdb cap: over-cap URLs keep exactly maxInlinks") {
+    import spark.implicits._
+    // synthesize a mega-inlink page
+    val pages = (1 to 50).map { i =>
+      graft.fetch.FetchedPage(s"http://h$i.fix.test/", 0L, s"h$i.fix.test",
+        graft.schema.CrawlStatus.FETCH_SUCCESS, "SUCCESS", 0L, "text/html", null, null,
+        0, 100, 1f, 1,
+        Seq(graft.schema.Span("link", "a", "http://target.fix.test/popular", 0)))
+    }.toDS()
+    val ldb = LinkDb.invert(pages, maxInlinks = 10)
+    val row = ldb.filter(col("url") === "http://target.fix.test/popular").collect().head
+    assert(row.getAs[Long]("n_inlinks") == 10)
+  }
+
+  test("hot-host salt derived from host stats") {
+    import spark.implicits._
+    val stats = Seq(
+      graft.schema.HostStats("hot.fix.test", 5000, 0, 0, 0, 0, 0, 1f, 0L),
+      graft.schema.HostStats("cold.fix.test", 10, 0, 0, 0, 0, 0, 1f, 0L)).toDS()
+    val salt = HostDb.hotHostSalt(stats, hotThreshold = 1000, perPartitionTarget = 1000)
+    assert(salt == Map("hot.fix.test" -> 5))
+  }
+}
