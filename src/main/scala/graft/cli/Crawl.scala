@@ -68,4 +68,23 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
   }
 
   def lastRound: Int = store.lastCompletedRound.getOrElse(0)
+
+  // ---- maintenance tools (reference's merge/filter/sample/stats CLIs) ----
+
+  import graft.schema.FrontierEntry
+  private def typedFrontier: Dataset[FrontierEntry] = {
+    import spark.implicits._
+    frontier.as[FrontierEntry]
+  }
+
+  def domainStats: DataFrame = graft.frontier.FrontierTools.domainStats(typedFrontier)
+
+  def sample(perDomain: Int, perHost: Int, seed: Long = 42L): DataFrame =
+    graft.frontier.FrontierTools.sampleUrls(typedFrontier, perDomain, perHost, seed)
+
+  /** Full-db filter + renormalize pass, committed as the next round snapshot. */
+  def filterAndNormalize(purge404: Boolean = true): Unit = {
+    val cleaned = graft.frontier.FrontierTools.filterAndNormalize(typedFrontier, purge404)
+    store.commit("frontier", cleaned.toDF(), lastRound)
+  }
 }

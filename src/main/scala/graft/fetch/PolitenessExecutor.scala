@@ -92,7 +92,8 @@ object PolitenessExecutor {
       onMetrics: FetchPartitionMetrics => Unit
   ): Iterator[FetchedPage] = {
     val clock = new VirtualClock(roundStartMs)
-    val signer = TextProfileSigner()
+    val signer: graft.frontier.Signer =
+      if (cfg.signer == "md5") graft.frontier.Md5Signer else TextProfileSigner()
     val queues = mutable.HashMap.empty[String, HostQueue]
     // min-heap of (nextTime, host) with lazy deletion
     val ready = mutable.PriorityQueue.empty[(Long, String)](Ordering.by[(Long, String), Long](_._1).reverse)
@@ -154,6 +155,16 @@ object PolitenessExecutor {
 
       private def step(): Unit = {
         fill()
+        // fetch time limit (fetcher.timelimit): past the budget, drain every
+        // queued + remaining item as retry — they stay due in the frontier
+        if (clock.now - roundStartMs >= cfg.fetchTimeLimitMs) {
+          queues.valuesIterator.filter(_.fifo.nonEmpty)
+            .foreach(q => drain(q, CrawlStatus.FETCH_RETRY, "TIMELIMIT_DRAINED", nRetried += _))
+          while (tasks.hasNext) {
+            val t = tasks.next(); inRows += 1; nRetried += 1
+            pending.append(result(t, CrawlStatus.FETCH_RETRY, "TIMELIMIT_DRAINED", clock.now))
+          }
+        }
         // pop until a live heap entry is found
         var q: HostQueue = null
         while (q == null && ready.nonEmpty) {

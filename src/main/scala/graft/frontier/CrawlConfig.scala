@@ -29,6 +29,10 @@ case class CrawlConfig(
     minScore: Float = Float.NegativeInfinity,    // generate.min.score
     updateHostDb: Boolean = true,                // per-round host_stats + hot-host salt feedback
     invertLinks: Boolean = false,                // per-round linkdb inversion (optional, like the reference)
+    generateExprFilter: Option[String] = None,   // Spark SQL predicate over frontier columns
+                                                 // (replaces the reference's JEXL expressions)
+    signer: String = "textprofile",              // content signature: "textprofile" | "md5"
+    fetchTimeLimitMs: Long = Long.MaxValue,      // fetcher.timelimit: drain queues past this (virtual) time
     // fetch politeness
     serverDelayMs: Long = 5000,                  // fetcher.server.delay
     minCrawlDelayMs: Long = 0,                   // fetcher.min.crawl.delay

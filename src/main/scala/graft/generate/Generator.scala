@@ -43,8 +43,8 @@ object Generator {
     }
   }
 
-  def eligible(frontier: Dataset[FrontierEntry], cfg: CrawlConfig, now: Long): Dataset[FrontierEntry] =
-    frontier
+  def eligible(frontier: Dataset[FrontierEntry], cfg: CrawlConfig, now: Long): Dataset[FrontierEntry] = {
+    val base = frontier
       .filter(col("status").isin(
         CrawlStatus.DB_UNFETCHED.toInt, CrawlStatus.DB_FETCHED.toInt,
         CrawlStatus.DB_NOTMODIFIED.toInt, CrawlStatus.DB_REDIR_TEMP.toInt,
@@ -52,6 +52,11 @@ object Generator {
       .filter(col("fetch_time") <= now)
       .filter(col("generate_time") < 0 || col("generate_time") + cfg.generateDelayMs <= now)
       .filter(col("score") >= cfg.minScore)
+    // user predicate over frontier columns — the reference's JEXL expression
+    // filter (CrawlDatum.execute), deliberately re-based on Spark SQL text so
+    // Catalyst can push/reorder it
+    cfg.generateExprFilter.fold(base)(e => base.filter(expr(e)))
+  }
 
   /** Generate the round's fetchlist. Returns (fetchlist, updated frontier with
     * generate_time stamped on selected rows). */
