@@ -70,6 +70,7 @@ object SparkEntry {
     // --- deduplication suite ---
     "q_dedup_exact" -> ((s, d) => DedupOps.exactDups(docsAug(s, d))),
     "q_jaccard_pairs" -> ((s, d) => DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75)),
+    "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(docsAug(s, d), 3, 0.5)),
     "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(docsAug(s, d), 0.5)),
     "q_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(docsAug(s, d), 3)),
     // --- similarity search (embeddings) ---
@@ -193,6 +194,20 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(list_sum(list_transform(str_split(text, ''), (c, i) -> ascii(c) * i)) % 1000000007 AS BIGINT) AS fingerprint
          FROM documents""",
+    "q_ngram_jaccard" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+                      UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
+              t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM aug),
+              sh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM t),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5""",
     "q_dedup_exact" ->
       """WITH aug AS (SELECT doc_id, text FROM documents
                       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)

@@ -50,6 +50,37 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Distinct (doc_id, shingle-string) pairs — raw strings so exact Jaccard
+    * is engine-neutral (the hashed form is minhash's domain). */
+  def docShinglesRaw(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    docs
+      .select(col("doc_id"),
+        explode(
+          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+        ).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard pairs ≥ threshold via an inverted index on
+    * shingle strings (the quadratic-exact sibling of minhashLshPairs). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = docShinglesRaw(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Word n-gram shingles, hashed to 64 bits. */
   def docShingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(col("text")), " ")

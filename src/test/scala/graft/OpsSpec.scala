@@ -46,6 +46,15 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(got.forall(_.getDouble(2) >= 0.8), "verification stage must filter sub-threshold candidates")
   }
 
+  test("minhash LSH results are a subset of exact n-gram jaccard pairs") {
+    val exact = DedupOps.ngramJaccardPairs(augmented, 3, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(augmented, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted pairs not in the exact set: ${lsh.diff(exact).take(5)}")
+    assert(lsh.nonEmpty)
+  }
+
   test("simhash: identical docs distance 0; near-dups within small distance") {
     val sh = DedupOps.simhash(augmented).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
