@@ -60,6 +60,7 @@ object SparkEntry {
     "q_url_canonicalize" -> (Relational.urlCanonicalize _),
     // --- text analysis (documents) ---
     "q_token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
+    "q_bpeish_tokens" -> ((s, d) => TextOps.bpeishTokenCount(docs(s, d))),
     "q_text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "q_lang_guess" -> ((s, d) => TextOps.langGuess(docs(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
@@ -162,6 +163,12 @@ object SparkEntry {
          FROM documents""",
     "q_token_count" ->
       """SELECT doc_id, len(str_split(trim(text), ' ')) AS n_tokens, length(text) AS n_chars_actual
+         FROM documents""",
+    "q_bpeish_tokens" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z]+')) +
+                len(regexp_extract_all(text, '[0-9]+')) +
+                len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_bpeish_tokens
          FROM documents""",
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text, ' ' || text || ' ' AS p,

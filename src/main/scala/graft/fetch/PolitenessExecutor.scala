@@ -51,6 +51,15 @@ final class VirtualClock(start: Long) extends Clock {
   override def now: Long = t
   override def advanceTo(x: Long): Unit = if (x > t) t = x
 }
+/** Wall-clock with real politeness sleeps — for deployments with a real
+  * Fetcher; tests and benches use VirtualClock. */
+final class SystemClock extends Clock {
+  override def now: Long = System.currentTimeMillis()
+  override def advanceTo(x: Long): Unit = {
+    var remaining = x - now
+    while (remaining > 0) { Thread.sleep(remaining); remaining = x - now }
+  }
+}
 
 /** The per-partition politeness scheduler (SURVEY.md §2.8).
   *
@@ -91,7 +100,8 @@ object PolitenessExecutor {
       round: Int,
       onMetrics: FetchPartitionMetrics => Unit
   ): Iterator[FetchedPage] = {
-    val clock = new VirtualClock(roundStartMs)
+    val clock: Clock = if (cfg.realClock) new SystemClock else new VirtualClock(roundStartMs)
+    val epochMs = clock.now // time-limit + lineage metrics measure from here
     val signer: graft.frontier.Signer =
       if (cfg.signer == "md5") graft.frontier.Md5Signer else TextProfileSigner()
     val queues = mutable.HashMap.empty[String, HostQueue]
@@ -157,7 +167,7 @@ object PolitenessExecutor {
         fill()
         // fetch time limit (fetcher.timelimit): past the budget, drain every
         // queued + remaining item as retry — they stay due in the frontier
-        if (clock.now - roundStartMs >= cfg.fetchTimeLimitMs) {
+        if (clock.now - epochMs >= cfg.fetchTimeLimitMs) {
           queues.valuesIterator.filter(_.fifo.nonEmpty)
             .foreach(q => drain(q, CrawlStatus.FETCH_RETRY, "TIMELIMIT_DRAINED", nRetried += _))
           while (tasks.hasNext) {
@@ -181,7 +191,7 @@ object PolitenessExecutor {
           if (!done) {
             done = true
             onMetrics(FetchPartitionMetrics(partitionId, inRows, nFetched, nDenied,
-              nDeferred, nRetried, nRedirects, nGone, clock.now - roundStartMs))
+              nDeferred, nRetried, nRedirects, nGone, clock.now - epochMs))
           }
           return
         }

@@ -33,6 +33,7 @@ case class CrawlConfig(
                                                  // (replaces the reference's JEXL expressions)
     signer: String = "textprofile",              // content signature: "textprofile" | "md5"
     fetchTimeLimitMs: Long = Long.MaxValue,      // fetcher.timelimit: drain queues past this (virtual) time
+    realClock: Boolean = false,                  // wall-clock politeness sleeps (real fetchers); tests/benches simulate
     // fetch politeness
     serverDelayMs: Long = 5000,                  // fetcher.server.delay
     minCrawlDelayMs: Long = 0,                   // fetcher.min.crawl.delay

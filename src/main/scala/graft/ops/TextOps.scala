@@ -69,6 +69,17 @@ object TextOps {
     )
   }
 
+  /** BPE-ish token counting: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (the regex shape a byte-pair pre-tokenizer
+    * uses). Pure column code: regexp_count over codegen'd expressions. */
+  def bpeishTokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      (regexp_count(col("text"), lit("[A-Za-z]+")) +
+        regexp_count(col("text"), lit("[0-9]+")) +
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))).as("n_bpeish_tokens")
+    )
+
   /** Position-weighted character fingerprint: sum(ascii(c_i) * i) over the
     * 1-based character positions — deterministic, oracle-mirrorable.
     * (The production-scale rolling hash is the native text_fingerprint64
