@@ -78,6 +78,7 @@ object SparkEntry {
     "q_embed_pairs" -> ((s, d) => SimilarityOps.cosinePairs(Relational.embeddings(s, d), 0.35, 300)),
     "q_embed_topk" -> ((s, d) => SimilarityOps.bruteTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
     "q_ann_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
+    "q_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
     // --- multimodal plumbing ---
     "q_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(docs(s, d))),
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs(s, d))).toDF()),

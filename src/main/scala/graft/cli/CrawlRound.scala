@@ -168,6 +168,12 @@ object CrawlRound {
         m.fetched, m.robots_denied, m.retries, m.virtual_ms))
     if (metricRows.nonEmpty)
       store.appendMetrics(spark.createDataset(metricRows).toDF(), round, "fetch")
+    // round-level stage lineage (wall ms per stage)
+    val stageRows = stageMs.toSeq.map { case (stage, ms) =>
+      RoundMetric(round, stage, -1, 0, 0, 0, 0, 0, ms)
+    }
+    if (stageRows.nonEmpty)
+      store.appendMetrics(spark.createDataset(stageRows).toDF(), round, "stages")
     val virtualMsMax = if (fetchMetrics.isEmpty) 0L else fetchMetrics.asScala.map(_.virtual_ms).max
     val generated = fetchMetrics.asScala.map(_.input_rows).sum
 

@@ -73,6 +73,83 @@ object SimilarityOps {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Cosine of an embedding column against a fixed (driver-side) vector:
+    * dot/norm against a literal array — stays in codegen. */
+  private def cosineToLit(embCol: Column, v: Array[Double]): Column = {
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val d = aggregate(zip_with(embCol, typedLit(v.toSeq), (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+    d / (norm(embCol) * vn)
+  }
+
+  /** Nearest-centroid id for every row (argmax over broadcast centroids). */
+  private def nearestCentroid(embCol: Column, centroids: Seq[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineToLit(embCol, c).as("cos"), lit(i).as("cid"))
+    }
+    // max struct = (highest cos, then highest cid) — deterministic argmax
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  /** IVF index build: deterministic seeding (lowest hash picks the initial
+    * centroids) + a few Lloyd iterations, centroids recomputed distributed
+    * (posexplode + per-dimension mean) and collected (k × dim doubles —
+    * driver-tiny). Returns (assigned vectors, centroids). */
+  def ivfIndex(emb: DataFrame, nCentroids: Int, iterations: Int = 3, seed: Long = 42L
+              ): (DataFrame, Seq[Array[Double]]) = {
+    val init = emb
+      .withColumn("_h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy(col("_h")).limit(nCentroids)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+
+    var centroids = init
+    var i = 0
+    while (i < iterations) {
+      val assigned = emb.withColumn("cell", nearestCentroid(col("embedding"), centroids))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }
+      i += 1
+    }
+    (emb.withColumn("cell", nearestCentroid(col("embedding"), centroids)), centroids)
+  }
+
+  /** IVF ANN top-k: probe the nProbe nearest cells per query, exact re-rank
+    * inside them — query cost ∝ corpus/nCentroids × nProbe, not corpus. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val (assigned, centroids) = ivfIndex(emb, nCentroids, seed = seed)
+    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineToLit(col("qe"), c).as("cos"), lit(i).as("cid"))
+    }
+    val q = broadcast(
+      assigned.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("probe",
+          explode(slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe).getField("cid"))))
+    val scored = assigned
+      .join(q, col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_bp", cosineBp(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_bp"), asc("vec_id"))
+    scored.select("qid", "vec_id", "cos_bp").distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** ANN top-k: LSH-bucketed candidates re-ranked exactly. Queries see only
     * their own bucket (plus its hamming-1 neighbors for recall). */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,

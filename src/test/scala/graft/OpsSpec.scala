@@ -105,6 +105,25 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(ann.forall(_.getInt(3) <= 5))
   }
 
+  test("IVF ANN top-k recall ≥ 0.8 vs brute force on clustered data") {
+    val qids = (0 until 8).map(_ * 25L)
+    val brute = SimilarityOps.bruteTopK(planted, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(planted, qids, 5, nCentroids = 16, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall too low (got ${ivf.size} pairs)")
+  }
+
+  test("IVF cells partition the corpus; index is deterministic") {
+    val (a1, c1) = SimilarityOps.ivfIndex(planted, nCentroids = 8)
+    val (a2, c2) = SimilarityOps.ivfIndex(planted, nCentroids = 8)
+    assert(c1.map(_.toSeq) == c2.map(_.toSeq))
+    val cells = a1.groupBy("cell").count().collect()
+    assert(cells.map(_.getLong(1)).sum == 500)
+    assert(cells.length > 1, "more than one populated cell")
+  }
+
   test("exact dedup groups: identical text, same signature, min doc_id canonical") {
     val dups = DedupOps.exactDups(augmented).collect()
     assert(dups.length == 15)
