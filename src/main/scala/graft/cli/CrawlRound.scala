@@ -140,9 +140,19 @@ object CrawlRound {
       if (dedupEachRound) newFrontier0.persist(StorageLevel.MEMORY_AND_DISK) else newFrontier0
     val finalFrontier = if (dedupEachRound) Dedup.markDuplicates(newFrontier) else newFrontier
     val obsDb = Observation(s"updatedb_r$round")
+    // optional storage layout: bucket by url_hash (min/max pruning turns the
+    // point lookup into a partial scan) + sort by reversed host (locality —
+    // SURVEY.md §1.2 partitioning note)
+    def layout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (cfg.frontierBuckets <= 0) df
+      else {
+        graft.functions.GraftFunctions.register(spark)
+        df.repartition(cfg.frontierBuckets, pmod(col("url_hash"), lit(cfg.frontierBuckets)))
+          .sortWithinPartitions(reverse(col("host")), col("url_hash"))
+      }
     timed("updatedb+dedup+write") {
       store.commit("frontier",
-        finalFrontier.toDF().observe(obsDb,
+        layout(finalFrontier.toDF()).observe(obsDb,
           count(lit(1)).as("size"),
           count(when(col("status") === CrawlStatus.DB_UNFETCHED, 1)).as("unfetched")), round)
     }

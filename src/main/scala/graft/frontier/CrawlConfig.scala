@@ -34,6 +34,8 @@ case class CrawlConfig(
     signer: String = "textprofile",              // content signature: "textprofile" | "md5"
     fetchTimeLimitMs: Long = Long.MaxValue,      // fetcher.timelimit: drain queues past this (virtual) time
     realClock: Boolean = false,                  // wall-clock politeness sleeps (real fetchers); tests/benches simulate
+    frontierBuckets: Int = 0,                    // >0: frontier snapshots bucketed by url_hash and
+                                                 // sorted by reversed host (point-lookup pruning + locality)
     // fetch politeness
     serverDelayMs: Long = 5000,                  // fetcher.server.delay
     minCrawlDelayMs: Long = 0,                   // fetcher.min.crawl.delay

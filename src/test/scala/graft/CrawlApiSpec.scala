@@ -80,6 +80,22 @@ class CrawlApiSpec extends AnyFunSuite with SparkSpecBase {
     assert(row.getAs[Long]("n_inlinks") == 10)
   }
 
+  test("bucketed frontier layout: one file per bucket, lookups still exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val c = Crawl(spark, root, cfg.copy(frontierBuckets = 4, invertLinks = false),
+      SyntheticFetcher(web, cfg.fetchLatencyMs))
+    c.inject(web.seedUrls.toDS())
+    c.rounds(1)
+    val dataDir = c.store.current("frontier").get.path
+    val parts = new java.io.File(dataDir).listFiles().count(_.getName.startsWith("part-"))
+    // bucket ids re-hash through the shuffle, so k ids land in ≤ k partitions
+    assert(parts >= 2 && parts <= 4, s"expected 2..4 bucket files, got $parts")
+    val seed = web.seedUrls.head
+    assert(c.url(seed).count() == 1)
+    assert(c.frontier.count() == crawl.store.loadRound(spark, "frontier", 1).get.count())
+  }
+
   test("hot-host salt derived from host stats") {
     import spark.implicits._
     val stats = Seq(
