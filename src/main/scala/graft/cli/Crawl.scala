@@ -87,4 +87,23 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     val cleaned = graft.frontier.FrontierTools.filterAndNormalize(typedFrontier, purge404)
     store.commit("frontier", cleaned.toDF(), lastRound)
   }
+
+  /** Index export (the reference's `index` stage, IndexWriters sinks reduced
+    * to a searchable table): one row per successfully parsed doc of a round —
+    * url, host, title (first text span), full text, score, signature. */
+  def exportIndex(roundNo: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.functions._
+    parsed(roundNo).map { p =>
+      val textSpans = filter(col("spans"), s => s.getField("kind") === "text")
+      val doc = p.select(
+        col("doc_id").as("url"),
+        element_at(textSpans, 1).getField("text").as("title"),
+        concat_ws(" ", transform(textSpans, s => s.getField("text"))).as("text"),
+        col("score"), hex(col("signature")).as("signature"), col("round"))
+      graft.functions.GraftFunctions.register(spark)
+      val indexed = doc.withColumn("host", call_function("url_host", col("url")))
+      store.commit("index", indexed, roundNo)
+      indexed
+    }
+  }
 }

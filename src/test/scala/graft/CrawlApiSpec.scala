@@ -80,6 +80,20 @@ class CrawlApiSpec extends AnyFunSuite with SparkSpecBase {
     assert(row.getAs[Long]("n_inlinks") == 10)
   }
 
+  test("index export: one searchable row per parsed doc, title = first text span") {
+    val idx = crawl.exportIndex(2).get
+    val parsedCount = crawl.parsed(2).get.count()
+    assert(idx.count() == parsedCount)
+    val row = idx.filter(col("url") === "http://host-001.fix.test/").collect().headOption
+    row.foreach { r =>
+      val wantTitle = web.render("http://host-001.fix.test/").spans.find(_.kind == "text").get.text
+      assert(r.getAs[String]("title") == wantTitle)
+      assert(r.getAs[String]("host") == "host-001.fix.test")
+      assert(r.getAs[String]("text").nonEmpty)
+    }
+    assert(crawl.store.current("index").isDefined)
+  }
+
   test("bucketed frontier layout: one file per bucket, lookups still exact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-bucket").toString
