@@ -47,4 +47,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpecBase {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streaming seed ingestion merges new seed files into the frontier") {
+    import graft.frontier.CrawlConfig
+    import graft.store.SnapshotStore
+    import graft.streaming.StreamingInject
+
+    val cfg = CrawlConfig()
+    val now = 1700000000000L
+    val seedDir = java.nio.file.Files.createTempDirectory("graft-seeds")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-seed-ckpt").toString
+    val store = new SnapshotStore(java.nio.file.Files.createTempDirectory("graft-sstore").toString)
+
+    java.nio.file.Files.writeString(seedDir.resolve("batch1.txt"),
+      "http://a.fix.test/\nhttp://b.fix.test/\tnutch.score=5\n# comment\n")
+    val q1 = StreamingInject.start(spark, store, seedDir.toString, cfg, now, ckpt, availableNow = true)
+    q1.awaitTermination(120000)
+    val f1 = store.load(spark, "frontier").get
+    assert(f1.count() == 2)
+
+    // a second seed file arrives: known URLs keep state, new ones enter
+    java.nio.file.Files.writeString(seedDir.resolve("batch2.txt"),
+      "http://b.fix.test/\nhttp://c.fix.test/\n")
+    val q2 = StreamingInject.start(spark, store, seedDir.toString, cfg, now, ckpt, availableNow = true)
+    q2.awaitTermination(120000)
+    val f2 = store.load(spark, "frontier").get.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[Float]("score")).toMap
+    assert(f2.keySet == Set("http://a.fix.test/", "http://b.fix.test/", "http://c.fix.test/"))
+    assert(f2("http://b.fix.test/") == 5.0f) // existing row kept, not overwritten
+  }
 }
