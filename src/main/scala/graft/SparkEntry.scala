@@ -26,7 +26,17 @@ object SparkEntry {
     val web = SyntheticWeb(WebConfig(nHosts = 6, pagesPerHost = 10))
     val cfg = CrawlConfig(topN = 200, maxPerHost = 50, numFetchPartitions = 2,
       serverDelayMs = 200, fetchLatencyMs = 5)
-    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val rootPath = java.nio.file.Files.createTempDirectory("graft-entry")
+    // the returned DataFrame is lazy (the caller scans it after we return),
+    // so clean up at JVM exit, not here
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
+      catch { case _: Exception => () }
+    }))
+    val root = rootPath.toString
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
     store.load(spark, "frontier").get
       .select(col("url"), col("host"), col("status").cast("int").as("status"), col("score"))

@@ -82,10 +82,11 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
   def sample(perDomain: Int, perHost: Int, seed: Long = 42L): DataFrame =
     graft.frontier.FrontierTools.sampleUrls(typedFrontier, perDomain, perHost, seed)
 
-  /** Full-db filter + renormalize pass, committed as the next round snapshot. */
+  /** Full-db filter + renormalize pass, committed as the next round snapshot
+    * (never in place: the source snapshot stays immutable and readable). */
   def filterAndNormalize(purge404: Boolean = true): Unit = {
     val cleaned = graft.frontier.FrontierTools.filterAndNormalize(typedFrontier, purge404)
-    store.commit("frontier", cleaned.toDF(), lastRound)
+    store.commit("frontier", cleaned.toDF(), lastRound + 1)
   }
 
   /** Index export (the reference's `index` stage, IndexWriters sinks reduced

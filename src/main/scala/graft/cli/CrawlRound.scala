@@ -35,22 +35,30 @@ object CrawlRound {
       stageMs: Map[String, Long] = Map.empty
   )
 
-  /** Round 0: seed the frontier. */
+  /** Seed the frontier. First inject commits round 0; a mid-crawl inject
+    * (StreamingInject, incremental seed feeds) commits AT the last completed
+    * round under a fresh `injectK` tag — the checkpoint never rewinds, the
+    * historical snapshots stay immutable, and the next crawl() continues at
+    * round N+1 on the unchanged time base. */
   def inject(
       spark: SparkSession,
       store: SnapshotStore,
       seedLines: Dataset[String],
       cfg: CrawlConfig,
-      now: Long
+      now: Long,
+      overwrite: Boolean = false,
+      update: Boolean = false
   ): Long = {
     import spark.implicits._
     import org.apache.spark.sql.Observation
     val existing = store.load(spark, "frontier")
       .map(_.as[FrontierEntry])
       .getOrElse(spark.emptyDataset[FrontierEntry])
-    val merged = Inject.run(existing, seedLines, cfg, now)
-    val obs = Observation("inject")
-    store.commit("frontier", merged.toDF().observe(obs, count(lit(1)).as("n")), round = 0)
+    val merged = Inject.run(existing, seedLines, cfg, now, overwrite, update)
+    val obs = Observation("inject" + System.nanoTime())
+    val round = store.lastCompletedRound.getOrElse(0)
+    val tag = if (store.current("frontier").isEmpty) "" else store.freshTag("frontier", round, "inject")
+    store.commit("frontier", merged.toDF().observe(obs, count(lit(1)).as("n")), round, tag)
     obs.get("n").asInstanceOf[Long]
   }
 
@@ -89,17 +97,21 @@ object CrawlRound {
 
     // hot-host salting from the previous round's host stats (data-driven
     // generate-domain-limits): hosts with big pending mass spread over k keys
+    val prevHostStats = if (cfg.updateHostDb) store.load(spark, "host_stats") else None
     val hostSalt: Map[String, Int] =
-      if (!cfg.updateHostDb) Map.empty
-      else store.load(spark, "host_stats")
+      prevHostStats
         .map(df => graft.frontier.HostDb.hotHostSalt(
           df.as[graft.schema.HostStats],
           hotThreshold = math.max(cfg.maxPerHost.toLong * 4, cfg.topN / math.max(1, cfg.numFetchPartitions)),
           perPartitionTarget = math.max(1L, cfg.topN / math.max(1, cfg.numFetchPartitions))))
         .getOrElse(Map.empty)
+    // hostdb exception throttle: skip hosts with too many cumulative failures
+    val badHosts: Option[org.apache.spark.sql.DataFrame] =
+      if (cfg.skipHostsWithExceptions <= 0) None
+      else prevHostStats.map(_.filter(col("exceptions") > cfg.skipHostsWithExceptions).select("host"))
 
     // --- generate ---
-    val (fetchlist0, markedFrontier) = Generator.generate(frontier, cfg, now, round, hostSalt)
+    val (fetchlist0, markedFrontier) = Generator.generate(frontier, cfg, now, round, hostSalt, badHosts)
     // consumed twice (fetch input + mark-back broadcast); spill-tolerant cache
     val fetchlist = fetchlist0.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -112,11 +124,14 @@ object CrawlRound {
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
     // job 1: write fetched (materializes generate → fetch → pages; counts observed)
+    // fetched/parsed/side tables are per-round derived outputs: history replay
+    // after an explicit frontier resetTo legitimately re-commits them
+    // (allowRewind); the frontier commit itself keeps the strict guard.
     val obsFetch = Observation(s"fetch_r$round")
     timed("generate+fetch+write") {
       store.commit("fetched",
         pages.toDF().observe(obsFetch, count(lit(1)).as("fetched"))
-          .drop("spans"), round)
+          .drop("spans"), round, allowRewind = true)
     }
     val fetchedPages = obsFetch.get("fetched").asInstanceOf[Long]
 
@@ -124,7 +139,8 @@ object CrawlRound {
     val obsParse = Observation(s"parse_r$round")
     timed("parse+write") {
       store.commit("parsed",
-        Parse.parsedDocs(pages).toDF().observe(obsParse, count(lit(1)).as("parsed")), round)
+        Parse.parsedDocs(pages).toDF().observe(obsParse, count(lit(1)).as("parsed")), round,
+        allowRewind = true)
     }
     val parsedCount = obsParse.get("parsed").asInstanceOf[Long]
 
@@ -161,11 +177,16 @@ object CrawlRound {
 
     // --- optional per-round side tables ---
     if (cfg.updateHostDb) timed("hostdb") {
-      val committed = store.load(spark, "frontier").get.as[FrontierEntry]
-      store.commit("host_stats", graft.frontier.HostDb.fromFrontier(committed, now).toDF(), round)
+      // aggregate from the in-memory merged frontier (persisted above when
+      // dedupEachRound) — no re-read of the just-committed parquet
+      store.commit("host_stats",
+        graft.frontier.HostDb.fromFrontier(finalFrontier, now, Some(pages.toDF()),
+          prev = store.load(spark, "host_stats")).toDF(),
+        round, allowRewind = true)
     }
     if (cfg.invertLinks) timed("invertlinks") {
-      store.commit("linkdb", graft.frontier.LinkDb.invert(pages, cfg.maxInlinks), round)
+      store.commit("linkdb", graft.frontier.LinkDb.invert(pages, cfg.maxInlinks), round,
+        allowRewind = true)
     }
 
     // --- per-partition lineage + metrics (north rule; from accumulators,

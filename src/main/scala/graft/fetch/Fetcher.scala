@@ -20,6 +20,18 @@ trait Fetcher extends Serializable {
   def fetch(url: String): ProtocolResponse
   /** Raw robots policy for a host (parsed robots.txt equivalent). */
   def robots(host: String): RobotsPolicy
+
+  /** Full per-path robots rules for a host; None = robots endpoint 5xx
+    * (defer visits). The executor checks isAllowed(path) PER FETCH URL —
+    * the reference does this in FetcherThread per fetch item. Default
+    * implementation derives host-level rules from [[robots]], so simple
+    * fetchers only implement the policy form. */
+  def robotsRules(host: String): Option[Robots.RobotRules] = robots(host) match {
+    case RobotsPolicy.AllowAll       => Some(Robots.AllowAll)
+    case RobotsPolicy.DenyAll        => Some(Robots.DenyAll)
+    case RobotsPolicy.CrawlDelay(s)  => Some(Robots.RobotRules(Seq.empty, Some(s.toDouble)))
+    case RobotsPolicy.Unavailable5xx => None
+  }
 }
 
 case class SyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher {
@@ -31,9 +43,13 @@ case class SyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher 
     case RedirectPerm(to) => ProtocolResponse("MOVED", to, null, null, latencyMs)
     case ServerError      => ProtocolResponse("RETRY", null, null, null, latencyMs)
   }
-  /** Fetch + parse the host's real robots.txt body (5xx body → defer). */
   override def robots(host: String): RobotsPolicy = web.robotsTxt(host) match {
     case None       => RobotsPolicy.Unavailable5xx
     case Some(body) => Robots.toPolicy(Robots.parse(body, "graftbot"))
+  }
+  /** Fetch + parse the host's real robots.txt body (5xx body → defer). */
+  override def robotsRules(host: String): Option[Robots.RobotRules] = web.robotsTxt(host) match {
+    case None       => None
+    case Some(body) => Some(Robots.parse(body, "graftbot"))
   }
 }

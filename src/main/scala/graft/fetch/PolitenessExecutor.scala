@@ -3,7 +3,6 @@ package graft.fetch
 import scala.collection.mutable
 
 import graft.frontier.{CrawlConfig, TextProfileSigner}
-import graft.fixtures.RobotsPolicy
 import graft.schema.{CrawlStatus, FetchTask, Span}
 import graft.url.Urls
 
@@ -66,29 +65,45 @@ final class SystemClock extends Clock {
   * Equivalent machinery to the reference's in-task fetcher runtime
   * (QueueFeeder bounded admission, per-host FIFO queues with
   * nextFetchTime = lastFetchEnd + crawlDelay, robots gate with per-host
-  * cache, per-queue exception purge) — reimagined as a lazy Iterator
-  * transform inside `Dataset.mapPartitions` over a host-partitioned
+  * cache + PER-URL path rules, per-queue exponential exception backoff and
+  * purge, optional in-task redirect following) — reimagined as a lazy
+  * Iterator transform inside `Dataset.mapPartitions` over a host-partitioned
   * fetchlist. Hosts are partition-sticky (salted repartition by host), so
   * the robots cache and queue state are partition-local with the same hit
   * rates the reference gets from its non-splittable fetchlist files.
   *
-  * Ready hosts are tracked in a binary heap keyed by nextFetchTime with
+  * Ready hosts are tracked in a binary heap keyed by next slot time with
   * lazy deletion, so each fetch costs O(log hosts), not O(hosts).
+  *
+  * threadsPerQueue (fetcher.threads.per.queue) is modeled as k politeness
+  * SLOTS per host: each slot independently enforces the crawl delay, so up
+  * to k requests can be in flight per host — forced to 1 when the host's
+  * robots carries a Crawl-delay, like the reference (FetchItemQueue ctor).
   */
 object PolitenessExecutor {
 
   private sealed trait Gate
-  private case class Open(delayMs: Long) extends Gate
+  private case class Open(delayMs: Long, rules: Robots.RobotRules) extends Gate
   private case object Denied extends Gate
   private case object DelayTooLong extends Gate
   private case object Deferred extends Gate
 
   private final class HostQueue(val host: String) {
-    val fifo = new mutable.ArrayDeque[FetchTask]()
-    var nextTime = 0L
+    val fifo = new mutable.ArrayDeque[(FetchTask, Int)]() // (task, redirect hop)
+    var slots: Array[Long] = Array(0L) // per-slot next allowed start time
     var exceptions = 0
     var gate: Gate = null
     var enqueuedInHeap = false
+    def nextTime: Long = { // min over slots (k is tiny: 1..threadsPerQueue)
+      var m = slots(0); var i = 1
+      while (i < slots.length) { if (slots(i) < m) m = slots(i); i += 1 }
+      m
+    }
+    def minSlot: Int = {
+      var mi = 0; var i = 1
+      while (i < slots.length) { if (slots(i) < slots(mi)) mi = i; i += 1 }
+      mi
+    }
   }
 
   def run(
@@ -109,6 +124,8 @@ object PolitenessExecutor {
     val ready = mutable.PriorityQueue.empty[(Long, String)](Ordering.by[(Long, String), Long](_._1).reverse)
     var queued = 0
     val admissionCap = math.max(64, cfg.queueDepth * cfg.threadsPerQueue * 8)
+    // redirect targets already enqueued in this partition (in-task follow dedup)
+    val followed = mutable.HashSet.empty[String]
     var inRows = 0L
     var nFetched = 0L
     var nDenied = 0L
@@ -119,30 +136,42 @@ object PolitenessExecutor {
 
     def gateOf(q: HostQueue): Gate = {
       if (q.gate == null) {
-        q.gate = fetcher.robots(q.host) match {
-          case RobotsPolicy.AllowAll => Open(math.max(cfg.serverDelayMs, cfg.minCrawlDelayMs))
-          case RobotsPolicy.DenyAll => Denied
-          case RobotsPolicy.CrawlDelay(s) =>
-            val d = s * 1000L
-            if (d > cfg.maxCrawlDelayMs) DelayTooLong
-            else Open(math.max(d, cfg.minCrawlDelayMs))
-          case RobotsPolicy.Unavailable5xx => Deferred
+        q.gate = fetcher.robotsRules(q.host) match {
+          case None => Deferred // robots endpoint 5xx: defer visits
+          case Some(rules) if rules.deniesAll => Denied
+          case Some(rules) =>
+            rules.crawlDelay match {
+              case Some(d) =>
+                val ms = math.ceil(d * 1000.0).toLong
+                if (ms > cfg.maxCrawlDelayMs) DelayTooLong
+                else Open(math.max(ms, cfg.minCrawlDelayMs), rules) // crawl-delay forces 1 slot
+              case None =>
+                val delay = math.max(cfg.serverDelayMs, cfg.minCrawlDelayMs)
+                if (cfg.threadsPerQueue > 1) {
+                  val t0 = q.slots(0)
+                  q.slots = Array.fill(cfg.threadsPerQueue)(t0)
+                }
+                Open(delay, rules)
+            }
         }
       }
       q.gate
+    }
+
+    def enqueue(q: HostQueue, item: (FetchTask, Int)): Unit = {
+      q.fifo.append(item)
+      queued += 1
+      if (!q.enqueuedInHeap) {
+        ready.enqueue((q.nextTime, q.host))
+        q.enqueuedInHeap = true
+      }
     }
 
     def fill(): Unit =
       while (tasks.hasNext && queued < admissionCap) {
         val t = tasks.next()
         inRows += 1
-        val q = queues.getOrElseUpdate(t.host, new HostQueue(t.host))
-        q.fifo.append(t)
-        queued += 1
-        if (!q.enqueuedInHeap) {
-          ready.enqueue((q.nextTime, q.host))
-          q.enqueuedInHeap = true
-        }
+        enqueue(queues.getOrElseUpdate(t.host, new HostQueue(t.host)), (t, 0))
       }
 
     def result(t: FetchTask, status: Byte, proto: String, time: Long,
@@ -158,7 +187,7 @@ object PolitenessExecutor {
       /** Drain a whole host queue with one terminal status (robots gates). */
       private def drain(q: HostQueue, status: Byte, proto: String, bump: Int => Unit): Unit = {
         bump(q.fifo.size)
-        q.fifo.foreach(t => pending.append(result(t, status, proto, clock.now)))
+        q.fifo.foreach { case (t, _) => pending.append(result(t, status, proto, clock.now)) }
         queued -= q.fifo.size
         q.fifo.clear()
       }
@@ -199,45 +228,77 @@ object PolitenessExecutor {
           case Denied       => drain(q, CrawlStatus.FETCH_GONE, "ROBOTS_DENIED", nDenied += _)
           case DelayTooLong => drain(q, CrawlStatus.FETCH_GONE, "ROBOTS_DELAY_TOO_LONG", nGone += _)
           case Deferred     => drain(q, CrawlStatus.FETCH_RETRY, "ROBOTS_DEFERRED", nDeferred += _)
-          case Open(delayMs) =>
-            clock.advanceTo(q.nextTime)
-            val t = q.fifo.removeHead()
-            queued -= 1
-            val resp = fetcher.fetch(t.url)
-            clock.advanceTo(clock.now + math.max(0L, resp.latencyMs))
-            val endTime = clock.now
-            resp.code match {
-              case "SUCCESS" =>
-                nFetched += 1
-                val spans = resp.doc.spans
-                pending.append(result(t, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
-                  resp.contentType, signer.signSpans(spans), null, spans))
-              case "NOTFOUND" =>
-                nGone += 1
-                pending.append(result(t, CrawlStatus.FETCH_GONE, "NOTFOUND", endTime))
-              case "MOVED" | "TEMP_MOVED" =>
-                nRedirects += 1
-                val target = graft.url.UrlFilters.canonicalizeAndFilter(resp.redirectTo)
-                val st = if (resp.code == "MOVED") CrawlStatus.FETCH_REDIR_PERM else CrawlStatus.FETCH_REDIR_TEMP
-                val repr = if (target == null) null
-                           else Urls.chooseRepr(t.url, target, temp = resp.code == "TEMP_MOVED")
-                // the redirect target rides along as a span; the parse stage
-                // turns it into a linked frontier update. Deviation from the
-                // reference's in-thread redirect follow: targets are fetched
-                // next round — scale-friendlier, no intra-task surprise work.
-                val spans = if (target == null) Seq.empty[Span]
-                            else Seq(Span("redirect", null, target, 0))
-                pending.append(result(t, st, resp.code, endTime, repr = repr, spans = spans))
-              case _ => // RETRY / transient exception
-                nRetried += 1
-                q.exceptions += 1
-                pending.append(result(t, CrawlStatus.FETCH_RETRY, "EXCEPTION", endTime))
-                if (q.exceptions >= cfg.maxExceptionsPerQueue) {
-                  // purge: remaining items retry next round, without waits
-                  drain(q, CrawlStatus.FETCH_RETRY, "QUEUE_PURGED", nRetried += _)
-                }
+          case Open(delayMs, rules) =>
+            // per-URL robots path check (no request made, no politeness wait):
+            // skim path-denied items off the queue head first
+            var head: (FetchTask, Int) = null
+            while (head == null && q.fifo.nonEmpty) {
+              val item = q.fifo.removeHead()
+              queued -= 1
+              if (rules.isAllowed(Urls.pathQueryOf(item._1.url))) head = item
+              else {
+                nDenied += 1
+                pending.append(result(item._1, CrawlStatus.FETCH_GONE, "ROBOTS_DENIED", clock.now))
+              }
             }
-            q.nextTime = endTime + delayMs
+            if (head != null) {
+              val (t, hop) = head
+              val slot = q.minSlot
+              clock.advanceTo(q.slots(slot))
+              val resp = fetcher.fetch(t.url)
+              clock.advanceTo(clock.now + math.max(0L, resp.latencyMs))
+              val endTime = clock.now
+              var slotDelay = delayMs
+              resp.code match {
+                case "SUCCESS" =>
+                  nFetched += 1
+                  val spans = resp.doc.spans
+                  pending.append(result(t, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
+                    resp.contentType, signer.signSpans(spans), null, spans))
+                case "NOTFOUND" =>
+                  nGone += 1
+                  pending.append(result(t, CrawlStatus.FETCH_GONE, "NOTFOUND", endTime))
+                case "MOVED" | "TEMP_MOVED" =>
+                  nRedirects += 1
+                  val target = graft.url.UrlFilters.canonicalizeAndFilter(resp.redirectTo)
+                  val st = if (resp.code == "MOVED") CrawlStatus.FETCH_REDIR_PERM else CrawlStatus.FETCH_REDIR_TEMP
+                  val repr = if (target == null) null
+                             else Urls.chooseRepr(t.url, target, temp = resp.code == "TEMP_MOVED")
+                  // the redirect target rides along as a span; the parse stage
+                  // turns it into a linked frontier update. http.redirect.max
+                  // semantics match the reference: 0 (default) records the
+                  // redirect and fetches the target NEXT round; >0 follows
+                  // in-task by enqueuing the target into its host queue
+                  // (politeness applies), up to redirectMax hops.
+                  val spans = if (target == null) Seq.empty[Span]
+                              else Seq(Span("redirect", null, target, 0))
+                  pending.append(result(t, st, resp.code, endTime, repr = repr, spans = spans))
+                  if (target != null && cfg.redirectMax > 0 && hop < cfg.redirectMax &&
+                      target != t.url && followed.add(target)) {
+                    val th = Urls.hostOf(target)
+                    if (th != null) {
+                      val nt = FetchTask(target, Urls.hash64(target), th,
+                        Urls.registeredDomainOf(th), CrawlStatus.DB_UNFETCHED,
+                        endTime, 0, cfg.fetchIntervalDefault, t.score, t.segment)
+                      enqueue(queues.getOrElseUpdate(th, new HostQueue(th)), (nt, hop + 1))
+                    }
+                  }
+                case _ => // RETRY / transient exception
+                  nRetried += 1
+                  q.exceptions += 1
+                  pending.append(result(t, CrawlStatus.FETCH_RETRY, "EXCEPTION", endTime))
+                  // exponential per-queue backoff (reference FetchItemQueues
+                  // exception handling): delay × 2^(n-1), capped — a flapping
+                  // host is slowed down before the purge threshold hits
+                  val shift = math.min(q.exceptions - 1, 20)
+                  slotDelay = math.min(delayMs << shift, cfg.exceptionBackoffMaxMs)
+                  if (q.exceptions >= cfg.maxExceptionsPerQueue) {
+                    // purge: remaining items retry next round, without waits
+                    drain(q, CrawlStatus.FETCH_RETRY, "QUEUE_PURGED", nRetried += _)
+                  }
+              }
+              q.slots(slot) = endTime + slotDelay
+            }
             if (q.fifo.nonEmpty && !q.enqueuedInHeap) {
               ready.enqueue((q.nextTime, q.host))
               q.enqueuedInHeap = true

@@ -15,7 +15,8 @@ object Robots {
   case class Rule(allow: Boolean, path: String)
   case class Group(agents: Seq[String], rules: Seq[Rule], crawlDelay: Option[Double])
 
-  case class RobotRules(rules: Seq[Rule], crawlDelay: Option[Double]) {
+  case class RobotRules(rules: Seq[Rule], crawlDelay: Option[Double],
+                        sitemaps: Seq[String] = Seq.empty) {
     def isAllowed(path: String): Boolean = {
       val p = if (path == null || path.isEmpty) "/" else path
       // longest (most specific) matching rule wins; Allow wins length ties
@@ -26,6 +27,8 @@ object Robots {
         best.allow
       }
     }
+    /** True when every path is disallowed (whole-host drain fast path). */
+    def deniesAll: Boolean = !isAllowed("/") && !rules.exists(_.allow)
   }
 
   val AllowAll: RobotRules = RobotRules(Seq.empty, None)
@@ -64,6 +67,7 @@ object Robots {
     if (content == null) return AllowAll
     val wanted = agent.toLowerCase(Locale.ROOT)
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var curAgents = scala.collection.mutable.ArrayBuffer.empty[String]
     var curRules = scala.collection.mutable.ArrayBuffer.empty[Rule]
     var curDelay: Option[Double] = None
@@ -97,7 +101,10 @@ object Robots {
             case "crawl-delay" =>
               inGroup = true
               value.toDoubleOption.foreach(d => curDelay = Some(d))
-            case _ => // sitemap etc: ignored
+            case "sitemap" =>
+              // host-wide per RFC 9309 §2.2.4 / sitemaps.org: not group-scoped
+              if (value.nonEmpty) sitemaps += value
+            case _ => // unknown directives ignored
           }
         }
       }
@@ -108,8 +115,9 @@ object Robots {
     val named = groups.filter(_.agents.exists(a => a != "*" && (wanted.contains(a) || a.contains(wanted))))
     val starGroups = groups.filter(_.agents.contains("*"))
     val chosen = if (named.nonEmpty) named else starGroups
-    if (chosen.isEmpty) AllowAll
-    else RobotRules(chosen.flatMap(_.rules).toSeq, chosen.flatMap(_.crawlDelay).headOption)
+    if (chosen.isEmpty) AllowAll.copy(sitemaps = sitemaps.toSeq)
+    else RobotRules(chosen.flatMap(_.rules).toSeq, chosen.flatMap(_.crawlDelay).headOption,
+      sitemaps.toSeq)
   }
 
   /** Classify parsed rules into the executor's gate policy. */

@@ -15,18 +15,25 @@ case class CrawlConfig(
     injectedScore: Float = 1.0f,                 // db.score.injected
     scoreInternalFactor: Float = 1.0f,           // db.score.link.internal
     scoreExternalFactor: Float = 1.0f,           // db.score.link.external
-    adaptiveSchedule: Boolean = false,           // Default vs Adaptive schedule
+    adaptiveSchedule: Boolean = false,           // shorthand for schedule="adaptive"
+    schedule: String = "default",                // "default" | "adaptive" | "mime" | "cc"
     adaptiveIncRate: Float = 0.4f,               // db.fetch.schedule.adaptive.inc_rate
     adaptiveDecRate: Float = 0.2f,               // db.fetch.schedule.adaptive.dec_rate
     adaptiveMinInterval: Int = 60,               // ...adaptive.min_interval (s)
+    mimeScheduleRates: Map[String, (Float, Float)] = Map.empty, // mime → (inc, dec) overrides (MimeAdaptiveFetchSchedule)
     columnarUpdateDb: Boolean = true,            // whole-stage-codegen updatedb (UpdateDbColumnar)
     // generator
     topN: Long = 50000,                          // SIZE_FETCHLIST
     maxPerHost: Int = 100,                       // generate.max.count (mode host)
     maxPerDomain: Int = Int.MaxValue,
+    maxNumSegments: Int = 1,                     // generate.max.num.segments (per-host overflow spill)
     generateDelayMs: Long = 7L * 24 * 3600 * 1000, // crawl.gen.delay (re-generate block)
     numFetchPartitions: Int = 8,                 // ≙ fetch task count
     minScore: Float = Float.NegativeInfinity,    // generate.min.score
+    markBackBroadcastMaxUrls: Long = 200000,     // generate mark-back: broadcast the selected set up to
+                                                 // this many URLs; beyond, shuffle-join (AQE decides)
+    skipHostsWithExceptions: Long = 0,           // >0: generator skips hosts whose cumulative hostdb
+                                                 // exception count exceeds this (reference hostdb throttling)
     updateHostDb: Boolean = true,                // per-round host_stats + hot-host salt feedback
     invertLinks: Boolean = false,                // per-round linkdb inversion (optional, like the reference)
     generateExprFilter: Option[String] = None,   // Spark SQL predicate over frontier columns
@@ -40,16 +47,21 @@ case class CrawlConfig(
     serverDelayMs: Long = 5000,                  // fetcher.server.delay
     minCrawlDelayMs: Long = 0,                   // fetcher.min.crawl.delay
     maxCrawlDelayMs: Long = 30000,               // fetcher.max.crawl.delay
-    threadsPerQueue: Int = 1,                    // fetcher.threads.per.queue
+    threadsPerQueue: Int = 1,                    // fetcher.threads.per.queue (concurrent per-host slots;
+                                                 // forced to 1 when robots Crawl-delay is present, like the reference)
     queueDepth: Int = 50,                        // fetcher.queue.depth.multiplier
-    redirectMax: Int = 3,                        // http.redirect.max
+    redirectMax: Int = 0,                        // http.redirect.max (reference default 0 = record redirect,
+                                                 // fetch target next round; >0 = follow in-task up to N hops)
     maxExceptionsPerQueue: Int = 10,             // fetcher.max.exceptions.per.queue
+    exceptionBackoffMaxMs: Long = 300000,        // cap for the per-queue exponential exception backoff
     fetchLatencyMs: Long = 50,                   // synthetic per-request serve time
     // parse
     maxOutlinksPerPage: Int = 100,               // db.max.outlinks.per.page
-    maxOutlinkLength: Int = 4096,
-    ignoreExternalLinks: Boolean = false,
+    maxOutlinkLength: Int = 4096,                // outlinks longer than this are dropped pre-canonicalize
+    ignoreExternalLinks: Boolean = false,        // db.ignore.external.links
+    ignoreExternalLinksMode: String = "byHost",  // "byHost" | "byDomain"
     // seen
+    useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,
     bloomFpp: Double = 0.01
 )

@@ -14,12 +14,22 @@ import graft.schema.{CrawlStatus, FrontierEntry, HostStats}
 object HostDb {
   import CrawlStatus._
 
-  def fromFrontier(frontier: Dataset[FrontierEntry], now: Long): Dataset[HostStats] = {
+  /** Frontier status counts per host, plus fetch-failure counters when the
+    * round's fetch results are supplied (the reference's DNS/connection
+    * failure tallies, UpdateHostDbReducer.java:160-367 — here: transient
+    * exceptions and robots denials per host from crawl_fetch rows). Counters
+    * are PER-ROUND; pass the previous host_stats as `prev` to accumulate. */
+  def fromFrontier(
+      frontier: Dataset[FrontierEntry],
+      now: Long,
+      fetchedPages: Option[DataFrame] = None,
+      prev: Option[DataFrame] = None
+  ): Dataset[HostStats] = {
     val spark = frontier.sparkSession
     import spark.implicits._
     def cnt(s: Byte): org.apache.spark.sql.Column =
       count(when(col("status") === s.toInt, 1))
-    frontier.toDF()
+    val base = frontier.toDF()
       .groupBy(col("host"))
       .agg(
         cnt(DB_UNFETCHED).as("unfetched"),
@@ -30,7 +40,32 @@ object HostDb {
         cnt(DB_GONE).as("gone"),
         max(col("score")).as("score"),
         lit(now).as("last_check"))
-      .as[HostStats]
+    val failures = fetchedPages.map { p =>
+      p.groupBy(col("host"))
+        .agg(
+          count(when(col("protocol_status").isin("EXCEPTION", "QUEUE_PURGED"), 1)).as("f_exc"),
+          count(when(col("protocol_status") === "ROBOTS_DENIED", 1)).as("f_den"))
+    }
+    val withFail = failures match {
+      case Some(f) => base.join(f, Seq("host"), "left_outer")
+        .withColumn("exceptions", coalesce(col("f_exc"), lit(0L)))
+        .withColumn("robots_denied", coalesce(col("f_den"), lit(0L)))
+        .drop("f_exc", "f_den")
+      case None => base
+        .withColumn("exceptions", lit(0L))
+        .withColumn("robots_denied", lit(0L))
+    }
+    val accumulated = prev match {
+      case Some(pr) =>
+        val p = pr.select(col("host"),
+          col("exceptions").as("p_exc"), col("robots_denied").as("p_den"))
+        withFail.join(p, Seq("host"), "left_outer")
+          .withColumn("exceptions", col("exceptions") + coalesce(col("p_exc"), lit(0L)))
+          .withColumn("robots_denied", col("robots_denied") + coalesce(col("p_den"), lit(0L)))
+          .drop("p_exc", "p_den")
+      case None => withFail
+    }
+    accumulated.as[HostStats]
   }
 
   /** Hosts whose pending (unfetched) mass exceeds `hotThreshold` get spread

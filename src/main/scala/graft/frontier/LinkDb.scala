@@ -47,13 +47,29 @@ object LinkDb {
   }
 
   /** Merge a new round's inversion into an existing linkdb (union inlink
-    * sets, re-cap) — LinkDbMerger semantics. */
-  def merge(existing: DataFrame, fresh: DataFrame, maxInlinks: Int = 10000): DataFrame =
-    existing.select(col("url"), explode(col("inlinks")).as("i"))
+    * sets, re-cap) — LinkDbMerger semantics.
+    *
+    * Same two-path cap discipline as [[invert]]: a mega-inlink URL must never
+    * materialize ALL its inlinks in one aggregation buffer (slice-after-
+    * collect_list is unbounded on the skew key). Within-cap keys aggregate
+    * directly; the rare over-cap keys are pre-limited by a window BEFORE the
+    * collect, so every buffer is ≤ maxInlinks. */
+  def merge(existing: DataFrame, fresh: DataFrame, maxInlinks: Int = 10000): DataFrame = {
+    val edges = existing.select(col("url"), explode(col("inlinks")).as("i"))
       .unionByName(fresh.select(col("url"), explode(col("inlinks")).as("i")))
       .select(col("url"), col("i.from_url").as("from_url"), col("i.anchor").as("anchor"))
       .distinct()
+    val counted = edges.groupBy(col("url")).agg(count(lit(1)).as("n"))
+    val overKeys = counted.filter(col("n") > maxInlinks).select("url")
+    val within = edges.join(overKeys.hint("broadcast"), Seq("url"), "left_anti")
+    val capped = edges.join(overKeys.hint("broadcast"), Seq("url"), "left_semi")
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("url").orderBy(col("from_url"))))
+      .filter(col("_rk") <= maxInlinks)
+      .drop("_rk")
+    within.unionByName(capped)
       .groupBy(col("url"))
-      .agg(slice(collect_list(struct(col("from_url"), col("anchor"))), 1, maxInlinks).as("inlinks"),
-        least(count(lit(1)), lit(maxInlinks)).as("n_inlinks"))
+      .agg(collect_list(struct(col("from_url"), col("anchor"))).as("inlinks"),
+        count(lit(1)).as("n_inlinks"))
+  }
 }

@@ -14,14 +14,18 @@ import graft.schema.{CrawlStatus, FetchTask, FrontierEntry}
   * Generator2.java:283-317) re-expressed Spark-first:
   *
   *  1. eligibility filters (due by fetch_time, generate-delay block,
-  *     min-score) — plain `Dataset.filter`, pushed below the shuffle;
+  *     min-score, hostdb exception throttle) — plain `Dataset.filter`,
+  *     pushed below the shuffle;
   *  2. OPIC priority queue = salted repartition-by-host +
   *     `sortWithinPartitions(desc(score))` (the north rule's realization);
   *  3. per-host / per-domain caps + per-partition topN — stateful
   *     `mapPartitions` over the score-sorted stream (order-dependent
-  *     running counts, like the reference's reducer — NOT a window);
-  *  4. politeness interleave — `sortWithinPartitions` on the
-  *     position-weighted URL hash so one host's URLs are spread out;
+  *     running counts, like the reference's reducer — NOT a window), with
+  *     SEGMENT SPILL: over-cap rows roll into the next segment (up to
+  *     generate.max.num.segments, Generator.java:487-560) instead of
+  *     waiting a whole round;
+  *  4. politeness interleave — `sortWithinPartitions` on (segment,
+  *     position-weighted URL hash) so one host's URLs are spread out;
   *  5. mark-back: stamp generate_time onto selected URLs in the frontier
   *     so the next generate skips them (crawl.gen.delay).
   *
@@ -43,7 +47,12 @@ object Generator {
     }
   }
 
-  def eligible(frontier: Dataset[FrontierEntry], cfg: CrawlConfig, now: Long): Dataset[FrontierEntry] = {
+  def eligible(
+      frontier: Dataset[FrontierEntry],
+      cfg: CrawlConfig,
+      now: Long,
+      badHosts: Option[DataFrame] = None
+  ): Dataset[FrontierEntry] = {
     val base = frontier
       .filter(col("status").isin(
         CrawlStatus.DB_UNFETCHED.toInt, CrawlStatus.DB_FETCHED.toInt,
@@ -55,17 +64,31 @@ object Generator {
     // user predicate over frontier columns — the reference's JEXL expression
     // filter (CrawlDatum.execute), deliberately re-based on Spark SQL text so
     // Catalyst can push/reorder it
-    cfg.generateExprFilter.fold(base)(e => base.filter(expr(e)))
+    val filtered = cfg.generateExprFilter.fold(base)(e => base.filter(expr(e)))
+    // hostdb exception throttle (reference generator hostdb checks): hosts
+    // with too many cumulative fetch failures skipped this round. The bad-host
+    // set is tiny by construction → broadcast anti-join, no frontier shuffle.
+    badHosts match {
+      case Some(bad) =>
+        import filtered.sparkSession.implicits._
+        filtered.toDF().join(bad.select(col("host")).hint("broadcast"), Seq("host"), "left_anti")
+          .as[FrontierEntry]
+      case None => filtered
+    }
   }
 
   /** Generate the round's fetchlist. Returns (fetchlist, updated frontier with
-    * generate_time stamped on selected rows). */
+    * generate_time stamped on selected rows). Each FetchTask carries its
+    * segment index (0-based); with maxNumSegments > 1 a hot host contributes
+    * up to maxPerHost × maxNumSegments URLs per generate, ≤ maxPerHost per
+    * segment — the reference's multi-fetchlist spill. */
   def generate(
       frontier: Dataset[FrontierEntry],
       cfg: CrawlConfig,
       now: Long,
       round: Int,
-      hostSalt: Map[String, Int] = Map.empty
+      hostSalt: Map[String, Int] = Map.empty,
+      badHosts: Option[DataFrame] = None
   ): (Dataset[FetchTask], Dataset[FrontierEntry]) = {
     val spark = frontier.sparkSession
     import spark.implicits._
@@ -75,41 +98,48 @@ object Generator {
     val perPartitionLimit = math.max(1L, (cfg.topN + p - 1) / p)
     val maxPerHost = cfg.maxPerHost
     val maxPerDomain = cfg.maxPerDomain
+    val nSegments = math.max(1, cfg.maxNumSegments)
 
-    val selected: Dataset[FetchTask] = eligible(frontier, cfg, now)
+    val selected: Dataset[FetchTask] = eligible(frontier, cfg, now, badHosts)
       .repartition(p, partitionKey(col("url"), col("host"), hostSalt))
       .sortWithinPartitions(desc("score"))
       .mapPartitions { it =>
         // order-dependent running caps, mirroring the reference reducer's
-        // per-host counting with overflow (Generator.java:516-560)
-        val hostCount = mutable.HashMap.empty[String, Int]
-        val domainCount = mutable.HashMap.empty[String, Int]
-        var emitted = 0L
+        // per-host counting with segment overflow (Generator.java:516-560):
+        // a row lands in the first segment with host/domain/count headroom
+        val hostCount = Array.fill(nSegments)(mutable.HashMap.empty[String, Int])
+        val domainCount = Array.fill(nSegments)(mutable.HashMap.empty[String, Int])
+        val emitted = new Array[Long](nSegments)
         it.flatMap { e =>
-          if (emitted >= perPartitionLimit) Iterator.empty
+          var seg = -1
+          var s = 0
+          while (seg < 0 && s < nSegments) {
+            if (emitted(s) < perPartitionLimit &&
+                hostCount(s).getOrElse(e.host, 0) < maxPerHost &&
+                domainCount(s).getOrElse(e.domain, 0) < maxPerDomain) seg = s
+            s += 1
+          }
+          if (seg < 0) Iterator.empty
           else {
-            val hc = hostCount.getOrElse(e.host, 0)
-            val dc = domainCount.getOrElse(e.domain, 0)
-            if (hc >= maxPerHost || dc >= maxPerDomain) Iterator.empty
-            else {
-              hostCount.update(e.host, hc + 1)
-              domainCount.update(e.domain, dc + 1)
-              emitted += 1
-              Iterator(FetchTask(e.url, e.url_hash, e.host, e.domain, e.status,
-                e.fetch_time, e.retries, e.fetch_interval, e.score, round))
-            }
+            hostCount(seg).update(e.host, hostCount(seg).getOrElse(e.host, 0) + 1)
+            domainCount(seg).update(e.domain, domainCount(seg).getOrElse(e.domain, 0) + 1)
+            emitted(seg) += 1
+            Iterator(FetchTask(e.url, e.url_hash, e.host, e.domain, e.status,
+              e.fetch_time, e.retries, e.fetch_interval, e.score, seg))
           }
         }
       }
-      // politeness interleave: same-host URLs spread out within the partition
-      .sortWithinPartitions(call_function("url_hash_interleave", col("url")))
+      // politeness interleave: segments contiguous, same-host URLs spread out
+      // within each segment
+      .sortWithinPartitions(col("segment"), call_function("url_hash_interleave", col("url")))
 
     // mark-back join (reference Generator.java:1002-1040): stamp _ngt_.
-    // The selected set is ≤ topN rows (tiny vs the frontier): broadcast it
-    // when topN is broadcast-sized so the frontier is never shuffled;
+    // The selected set is ≤ topN×segments rows (tiny vs the frontier):
+    // broadcast it when broadcast-sized so the frontier is never shuffled;
     // at very large topN fall back to a shuffle join (AQE decides).
     val selRaw = selected.select(col("url").as("sel_url")).distinct()
-    val sel = if (cfg.topN <= 200000) broadcast(selRaw) else selRaw
+    val sel =
+      if (cfg.topN * nSegments <= cfg.markBackBroadcastMaxUrls) broadcast(selRaw) else selRaw
     val updated = frontier
       .join(sel, frontier("url") === sel("sel_url"), "left_outer")
       .withColumn("generate_time",

@@ -46,13 +46,15 @@ object Parse {
     import spark.implicits._
     GraftFunctions.register(spark)
 
-    val exploded = pages.toDF()
+    val exploded0 = pages.toDF()
       .filter(col("status").isin(CrawlStatus.FETCH_SUCCESS.toInt,
         CrawlStatus.FETCH_REDIR_PERM.toInt, CrawlStatus.FETCH_REDIR_TEMP.toInt))
       .select(col("url").as("from_url"), col("host").as("from_host"),
         col("score"), col("fetch_time"),
-        // cap BEFORE exploding: slice bounds the blowup (db.max.outlinks.per.page)
-        slice(filter(col("spans"), s => s.getField("kind").isin("link", "media", "redirect")),
+        // over-long outlinks dropped (db.max.outlink.length) and cap applied
+        // BEFORE exploding: slice bounds the blowup (db.max.outlinks.per.page)
+        slice(filter(col("spans"), s => s.getField("kind").isin("link", "media", "redirect") &&
+            length(s.getField("media_ref")) <= cfg.maxOutlinkLength),
           1, cfg.maxOutlinksPerPage).as("links"))
       .withColumn("n", greatest(size(col("links")), lit(1)))
       .select(col("from_url"), col("from_host"), col("score"), col("fetch_time"), col("n"),
@@ -60,7 +62,15 @@ object Parse {
       .withColumn("to_url", call_function("url_canon_filter", col("l.media_ref")))
       .filter(col("to_url").isNotNull && col("to_url") =!= col("from_url"))
       .withColumn("to_host", call_function("url_host", col("to_url")))
-      .withColumn("internal", col("to_host") === col("from_host"))
+      .withColumn("internal",
+        if (cfg.ignoreExternalLinksMode == "byDomain")
+          call_function("url_domain", col("to_host")) === call_function("url_domain", col("from_host"))
+        else col("to_host") === col("from_host"))
+      // db.ignore.external.links: cross-host/domain targets dropped entirely;
+      // redirect spans are exempt (the reference treats redirects as fetch
+      // outcomes, not discovered links)
+      .filter(lit(!cfg.ignoreExternalLinks) || col("internal") || col("l.kind") === "redirect")
+    val exploded = exploded0
       .withColumn("child_score",
         when(col("l.kind") === "redirect", col("score"))
           .otherwise(col("score") / col("n") *

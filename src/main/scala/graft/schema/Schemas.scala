@@ -108,7 +108,8 @@ case class FrontierUpdate(
     metadata: Map[String, String]
 )
 
-/** Per-host aggregate (HostDatum equivalent). */
+/** Per-host aggregate (HostDatum equivalent; `exceptions`/`robots_denied`
+  * are the reference's cumulative failure counters, UpdateHostDbReducer). */
 case class HostStats(
     host: String,
     unfetched: Long,
@@ -118,7 +119,9 @@ case class HostStats(
     redir_perm: Long,
     gone: Long,
     score: Float,
-    last_check: Long
+    last_check: Long,
+    exceptions: Long = 0L,
+    robots_denied: Long = 0L
 )
 
 /** Per-round, per-partition lineage + counters (north rule). */

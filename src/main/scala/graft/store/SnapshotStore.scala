@@ -23,9 +23,27 @@ class SnapshotStore(val root: String) extends Serializable {
 
   case class Snapshot(table: String, round: Int, path: String, committedAtMs: Long)
 
-  /** Atomic commit: write parquet then swap the manifest. */
-  def commit(table: String, df: DataFrame, round: Int): Snapshot = {
-    val dataPath = tableDir(table).resolve(s"r$round").toString
+  /** Atomic commit: write parquet then swap the manifest.
+    *
+    * Rounds are MONOTONIC per table: committing at a round below the current
+    * manifest round is rejected unless `allowRewind` (history replay after an
+    * explicit `resetTo` — e.g. re-running a measured round). This guards the
+    * retained-history/time-travel contract: a stray low-round commit (the
+    * round-1 mid-crawl-inject bug class) can no longer rewind the checkpoint
+    * and overwrite historical snapshots.
+    *
+    * `tag` gives the commit a distinct data directory (`r<round>-<tag>`) so a
+    * re-commit at the SAME round (mid-crawl inject, filter passes) never
+    * overwrites — nor races with a lazy read of — the snapshot it derives from. */
+  def commit(table: String, df: DataFrame, round: Int, tag: String = "",
+             allowRewind: Boolean = false): Snapshot = {
+    current(table).foreach { c =>
+      require(round >= c.round || allowRewind,
+        s"commit($table, round=$round) would rewind the manifest (current round ${c.round}); " +
+        "use resetTo + allowRewind for deliberate history replay")
+    }
+    val dirName = if (tag.isEmpty) s"r$round" else s"r$round-$tag"
+    val dataPath = tableDir(table).resolve(dirName).toString
     df.write.mode("overwrite").parquet(dataPath)
     val snap = Snapshot(table, round, dataPath, System.currentTimeMillis())
     Files.createDirectories(tableDir(table))
@@ -34,6 +52,13 @@ class SnapshotStore(val root: String) extends Serializable {
     Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     snap
+  }
+
+  /** A tag not yet used for data dirs at this round (deterministic sequence). */
+  def freshTag(table: String, round: Int, prefix: String): String = {
+    var i = 1
+    while (Files.exists(tableDir(table).resolve(s"r$round-$prefix$i"))) i += 1
+    s"$prefix$i"
   }
 
   private def manifestJson(s: Snapshot): String =
@@ -75,6 +100,29 @@ class SnapshotStore(val root: String) extends Serializable {
     Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Commit an opaque binary artifact (e.g. the URL-seen bloom filter) under
+    * the same manifest discipline: immutable per-round file + atomic pointer
+    * swap. Rounds are monotonic like data commits. */
+  def commitBlob(table: String, bytes: Array[Byte], round: Int): Snapshot = {
+    current(table).foreach(c => require(round >= c.round,
+      s"commitBlob($table, round=$round) would rewind (current ${c.round})"))
+    Files.createDirectories(tableDir(table))
+    val dataPath = tableDir(table).resolve(s"r$round.bin")
+    val tmpData = tableDir(table).resolve(s"r$round.bin.tmp")
+    Files.write(tmpData, bytes)
+    Files.move(tmpData, dataPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val snap = Snapshot(table, round, dataPath.toString, System.currentTimeMillis())
+    val tmp = tableDir(table).resolve("_manifest.json.tmp")
+    Files.writeString(tmp, manifestJson(snap), StandardCharsets.UTF_8)
+    Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  def loadBlob(table: String): Option[Array[Byte]] =
+    current(table).map(s => Files.readAllBytes(Paths.get(s.path)))
 
   /** Append-only metrics table (one parquet dir per round+stage). */
   def appendMetrics(df: DataFrame, round: Int, stage: String): Unit =

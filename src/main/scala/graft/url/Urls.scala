@@ -135,10 +135,18 @@ object Urls {
         else sb.append('%').append(Character.toUpperCase(s.charAt(i + 1))).append(Character.toUpperCase(s.charAt(i + 2)))
         i += 3
       } else if (c <= ' ' || c >= 127) {
-        // escape spaces, control chars, non-ASCII (UTF-8 bytes)
-        for (b <- c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // escape spaces, control chars, non-ASCII as the UTF-8 bytes of the
+        // FULL code point: a high+low surrogate pair (emoji etc.) is encoded
+        // together — encoding the chars separately would produce unpaired
+        // surrogates that the UTF-8 encoder replaces with '?', colliding
+        // distinct URLs in the URL-seen key
+        val cp =
+          if (Character.isHighSurrogate(c) && i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)))
+            new String(Array(c, s.charAt(i + 1)))
+          else c.toString
+        for (b <- cp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           sb.append('%').append(f"${b & 0xff}%02X")
-        i += 1
+        i += cp.length
       } else {
         sb.append(c)
         i += 1
@@ -220,6 +228,21 @@ object Urls {
     else last2
   }
 
+  /** Path + query of a URL ("/" if none) — the portion robots.txt rules
+    * match against (crawler-commons matches path+query too). */
+  def pathQueryOf(url: String): String = {
+    if (url == null) return "/"
+    val i = url.indexOf("://")
+    if (i < 0) return "/"
+    val rest = url.substring(i + 3)
+    val slash = rest.indexOf('/')
+    val q = rest.indexOf('?')
+    if (slash < 0 && q < 0) "/"
+    else if (slash < 0) "/" + rest.substring(q)
+    else if (q >= 0 && q < slash) "/" + rest.substring(q)
+    else rest.substring(slash)
+  }
+
   /** Reversed host for storage locality: www.example.com → com.example.www. */
   def reverseHost(host: String): String =
     if (host == null) null else host.split('.').reverse.mkString(".")
@@ -259,9 +282,12 @@ object Urls {
     } else src
   }
 
-  /** 64-bit URL-seen hash of the canonical URL: MurmurHash3 x64 (low word).
-    * Pure-JVM, stable across releases — the URL-seen set key must never
-    * change value (north rule: canonicalized URL → 64-bit hash). */
+  /** 64-bit URL-seen hash of the canonical URL: MurmurHash2 64-bit.
+    * STABILITY CONTRACT: this is the URL-seen set key (north rule:
+    * canonicalized URL → 64-bit hash) and the frontier bucketing key — its
+    * value must NEVER change across releases. Do not "upgrade" the algorithm
+    * (e.g. to Murmur3): that would invalidate every stored url_hash, bloom
+    * filter and bucketed layout. */
   def hash64(s: String): Long = {
     if (s == null) return 0L
     val data = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
