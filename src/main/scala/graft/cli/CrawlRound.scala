@@ -144,12 +144,31 @@ object CrawlRound {
     }
     val parsedCount = obsParse.get("parsed").asInstanceOf[Long]
 
+    // --- URL-seen bloom (north rule): load the persisted broadcast filter;
+    //     build-once from the frontier if absent (first round / migration).
+    //     Saturated filters rebuild from the frontier at 2× capacity. ---
+    val seen: Option[graft.seen.UrlSeen.SeenFilter] =
+      if (!cfg.useSeenBloom) None
+      else {
+        val loaded = store.loadBlob("seen_bloom").map(graft.seen.UrlSeen.fromBytes(spark, _))
+        loaded match {
+          case Some(sf) if !sf.saturated => Some(sf)
+          case other =>
+            val cap = other match {
+              case Some(sf) => math.max(cfg.bloomExpectedItems, sf.approxInserted * 2)
+              case None => cfg.bloomExpectedItems
+            }
+            Some(graft.seen.UrlSeen.build(
+              frontier.toDF().select(col("url_hash")), cap, cfg.bloomFpp))
+        }
+      }
+
     // --- updatedb (job 3: mark-back broadcast build; job 4: frontier write) ---
     val fetchUpdates = Parse.fetchUpdates(pages)
     val linked = Parse.linkedUpdates(pages, cfg, round)
     val newFrontier0 =
-      if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(markedFrontier, fetchUpdates, linked, cfg, now)
-      else UpdateDb.run(markedFrontier, fetchUpdates, linked, cfg, now)
+      if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(markedFrontier, fetchUpdates, linked, cfg, now, seen)
+      else UpdateDb.run(markedFrontier, fetchUpdates, linked, cfg, now, seen)
     // dedup consumes the merged frontier three times (candidates, keep-best
     // aggregation, pass-through rest): persist so the merge runs once
     val newFrontier =
@@ -174,6 +193,27 @@ object CrawlRound {
     }
     val frontierSize = obsDb.get("size").asInstanceOf[Long]
     val unfetched = obsDb.get("unfetched").asInstanceOf[Long]
+
+    // --- URL-seen bloom maintenance: merge the round's update-side hashes
+    //     (fetched URLs + raw discovered targets, straight off the cached
+    //     pages — partition-local, update-sized, NO frontier re-scan) and
+    //     persist. Superset semantics: over-adding filtered targets is
+    //     harmless; approxInserted tracks via the observed frontier size. ---
+    seen.foreach { sf =>
+      timed("seen_bloom") {
+        graft.functions.GraftFunctions.register(spark)
+        val linkHashes = pages.toDF()
+          .select(explode(filter(col("spans"),
+            s => s.getField("kind").isin("link", "media", "redirect"))).as("l"))
+          .select(call_function("url_canon_filter", col("l.media_ref")).as("u"))
+          .filter(col("u").isNotNull)
+          .select(call_function("url_hash64", col("u")).as("url_hash"))
+        val updHashes = linkHashes.unionByName(pages.toDF().select(col("url_hash")))
+        val merged = graft.seen.UrlSeen.merged(spark, sf, updHashes, 0L)
+          .copy(approxInserted = math.max(sf.approxInserted, frontierSize))
+        store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round)
+      }
+    }
 
     // --- optional per-round side tables ---
     if (cfg.updateHostDb) timed("hostdb") {

@@ -21,6 +21,7 @@ case class CrawlConfig(
     adaptiveDecRate: Float = 0.2f,               // db.fetch.schedule.adaptive.dec_rate
     adaptiveMinInterval: Int = 60,               // ...adaptive.min_interval (s)
     mimeScheduleRates: Map[String, (Float, Float)] = Map.empty, // mime → (inc, dec) overrides (MimeAdaptiveFetchSchedule)
+    ccMaxDaysAhead: Int = 0,                     // db.fetch.time.max.days.ahead (CC schedule; 0 = off)
     columnarUpdateDb: Boolean = true,            // whole-stage-codegen updatedb (UpdateDbColumnar)
     // generator
     topN: Long = 50000,                          // SIZE_FETCHLIST

@@ -66,7 +66,59 @@ case class AdaptiveFetchSchedule(cfg: CrawlConfig) extends FetchSchedule {
   }
 }
 
+/** Per-mime adaptive rates (reference MimeAdaptiveFetchSchedule.java:
+  * adaptive inc/dec chosen by the page's Content-Type, read from the
+  * frontier metadata the fetch stage propagates; defaults otherwise). */
+case class MimeAdaptiveFetchSchedule(cfg: CrawlConfig) extends FetchSchedule {
+  override def setFetchSchedule(e: FrontierEntry, fetchTime: Long, modifiedTime: Long, modified: Int): FrontierEntry = {
+    val (inc, dec) = e.metadata.get("content_type")
+      .flatMap(cfg.mimeScheduleRates.get)
+      .getOrElse((cfg.adaptiveIncRate, cfg.adaptiveDecRate))
+    val interval0 = e.fetch_interval.toFloat
+    val interval1 = modified match {
+      case 1 => interval0 * (1.0f - dec)
+      case 2 => interval0 * (1.0f + inc)
+      case _ => interval0
+    }
+    val clamped = math.min(math.max(interval1, cfg.adaptiveMinInterval.toFloat), cfg.fetchIntervalMax.toFloat).toInt
+    e.copy(fetch_time = fetchTime + clamped * 1000L, fetch_interval = clamped, retries = 0)
+  }
+}
+
+/** CommonCrawl schedule (reference CCFetchSchedule.java:28-113): Default
+  * semantics plus (a) fetch intervals exceeding db.fetch.interval.max are
+  * RESET to max instead of triggering forceRefetch churn, on every schedule
+  * event, and (b) next fetch time clamped to fetchTime + ccMaxDaysAhead days
+  * (db.fetch.time.max.days.ahead) so one bad interval can't push a page past
+  * the crawl horizon. */
+case class CCFetchSchedule(cfg: CrawlConfig) extends FetchSchedule {
+  private def clampInterval(i: Int): Int = math.min(i, cfg.fetchIntervalMax)
+  private def clampTime(t: Long, fetchTime: Long): Long =
+    if (cfg.ccMaxDaysAhead > 0) math.min(t, fetchTime + cfg.ccMaxDaysAhead * 24L * 3600 * 1000)
+    else t
+
+  override def setFetchSchedule(e: FrontierEntry, fetchTime: Long, modifiedTime: Long, modified: Int): FrontierEntry = {
+    val interval = clampInterval(e.fetch_interval)
+    e.copy(fetch_time = clampTime(fetchTime + interval * 1000L, fetchTime),
+      fetch_interval = interval, retries = 0)
+  }
+  override def setPageRetrySchedule(e: FrontierEntry, fetchTime: Long): FrontierEntry =
+    super.setPageRetrySchedule(e.copy(fetch_interval = clampInterval(e.fetch_interval)), fetchTime)
+  override def setPageGoneSchedule(e: FrontierEntry, fetchTime: Long): FrontierEntry =
+    super.setPageGoneSchedule(e.copy(fetch_interval = clampInterval(e.fetch_interval)), fetchTime)
+}
+
 object FetchSchedule {
-  def forConfig(cfg: CrawlConfig): FetchSchedule =
-    if (cfg.adaptiveSchedule) AdaptiveFetchSchedule(cfg) else DefaultFetchSchedule(cfg)
+  /** Resolved schedule name ("default"|"adaptive"|"mime"|"cc"). */
+  def nameFor(cfg: CrawlConfig): String =
+    if (cfg.schedule != "default") cfg.schedule
+    else if (cfg.adaptiveSchedule) "adaptive"
+    else "default"
+
+  def forConfig(cfg: CrawlConfig): FetchSchedule = nameFor(cfg) match {
+    case "adaptive" => AdaptiveFetchSchedule(cfg)
+    case "mime"     => MimeAdaptiveFetchSchedule(cfg)
+    case "cc"       => CCFetchSchedule(cfg)
+    case _          => DefaultFetchSchedule(cfg)
+  }
 }

@@ -43,7 +43,13 @@ object UpdateDb {
         case "old" =>
           if (old == null || u.fetch_time > old.fetch_time) old = u
         case "fetch" =>
-          if (fetch == null || fetchIsLink || u.fetch_time > fetch.fetch_time) { fetch = u; fetchIsLink = false }
+          // latest fetch wins; ties broken deterministically (status, score) —
+          // duplicate fetches of one URL are real with in-task redirect
+          // following (two partitions may follow to the same target)
+          if (fetch == null || fetchIsLink ||
+              Ordering[(Long, Byte, Float)].gt(
+                (u.fetch_time, u.status, u.score),
+                (fetch.fetch_time, fetch.status, fetch.score))) { fetch = u; fetchIsLink = false }
         case "linked" =>
           inlinks.enqueue(u)
           if (inlinks.size > cfg.maxInlinks) inlinks.dequeue() // drop lowest score
@@ -142,20 +148,51 @@ object UpdateDb {
     FrontierUpdate(e.url, "old", e.status, e.fetch_time, e.retries,
       e.fetch_interval, e.score, e.signature, e.modified_time, e.repr_url, e.metadata)
 
-  /** Distributed updatedb: frontier ∪ fetch results ∪ inlink credits → new frontier. */
+  /** Distributed updatedb: frontier ∪ fetch results ∪ inlink credits → new
+    * frontier. With a URL-seen bloom, definitely-new discovered links skip
+    * the frontier co-group (same split as UpdateDbColumnar — the bloom has
+    * no false negatives, so a miss can't match a frontier row). */
   def run(
       frontier: Dataset[FrontierEntry],
       fetched: Dataset[FrontierUpdate],
-      linked: Dataset[FrontierUpdate],
+      linked0: Dataset[FrontierUpdate],
       cfg: CrawlConfig,
-      now: Long
+      now: Long,
+      seen: Option[graft.seen.UrlSeen.SeenFilter] = None
   ): Dataset[FrontierEntry] = {
     val spark = frontier.sparkSession
     import spark.implicits._
     val schedule = FetchSchedule.forConfig(cfg)
+    val (linked, directNew): (Dataset[FrontierUpdate], Option[Dataset[FrontierEntry]]) =
+      seen match {
+        case Some(sf) if cfg.additionsAllowed =>
+          val bloomBc = sf.bloom
+          val isSeen = (u: FrontierUpdate) => bloomBc.value.mightContainLong(Urls.hash64(u.url))
+          val seenSide = linked0.filter(u => isSeen(u))
+          val newCand = linked0.filter(u => !isSeen(u))
+          val (newRows, backToJoin) =
+            if (cfg.redirectMax > 0) {
+              val fUrls = fetched.toDF().select(org.apache.spark.sql.functions.col("url"))
+              (newCand.toDF().join(fUrls, Seq("url"), "left_anti").as[FrontierUpdate],
+               newCand.toDF().join(fUrls, Seq("url"), "left_semi").as[FrontierUpdate])
+            } else (newCand, spark.emptyDataset[FrontierUpdate])
+          val direct = newRows.map { u =>
+            val host = Urls.hostOf(u.url)
+            schedule.initialize(
+              FrontierEntry(u.url, Urls.hash64(u.url), host, Urls.registeredDomainOf(host),
+                CrawlStatus.DB_UNFETCHED, now, 0, cfg.fetchIntervalDefault, u.score,
+                null, 0L, null, -1L, Map.empty), now)
+          }
+          (seenSide.unionByName(backToJoin), Some(direct))
+        case _ => (linked0, None)
+      }
     val updates = frontier.map(asOld).unionByName(fetched).unionByName(linked)
-    updates
+    val joined = updates
       .groupByKey(_.url)
       .flatMapGroups((url, it) => merge(url, it, cfg, schedule, now).iterator)
+    directNew match {
+      case Some(d) => joined.unionByName(d)
+      case None => joined
+    }
   }
 }

@@ -25,12 +25,58 @@ object UpdateDbColumnar {
   def run(
       frontier: Dataset[FrontierEntry],
       fetched: Dataset[FrontierUpdate],
-      linked: Dataset[FrontierUpdate],
+      linked0: Dataset[FrontierUpdate],
       cfg: CrawlConfig,
-      now: Long
+      now: Long,
+      seen: Option[graft.seen.UrlSeen.SeenFilter] = None
   ): Dataset[FrontierEntry] = {
     val spark = frontier.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+
+    // URL-seen bloom prefilter (north rule): discovered links whose hash the
+    // bloom has never seen are DEFINITELY new — they cannot match a frontier
+    // row, so they skip the frontier join entirely and are constructed
+    // directly (identical expressions to the join's no-match branch). The
+    // maybe-seen slice (bloom hit, fpp-bounded) rides the exact join as
+    // before, so a false positive only costs a join probe, never a wrong row.
+    // With in-task redirect following (redirectMax > 0) a brand-new URL can
+    // ALSO appear on the fetch side; those must co-group with their fetch
+    // row, so they are routed back to the join via an anti-join against the
+    // (update-sized) fetch set — skipped entirely in the default config.
+    val (linked, directNew): (Dataset[FrontierUpdate], Option[org.apache.spark.sql.DataFrame]) =
+      seen match {
+        case Some(sf) if cfg.additionsAllowed =>
+          val bloomBc = sf.bloom
+          val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+          val withHash = linked0.toDF()
+            .withColumn("_h", call_function("url_hash64", col("url")))
+          val seenSide = withHash.filter(mightContain(col("_h")))
+          val newCand = withHash.filter(!mightContain(col("_h")))
+          val (newRows, backToJoin) =
+            if (cfg.redirectMax > 0) {
+              val fUrls = fetched.toDF().select(col("url"))
+              (newCand.join(fUrls, Seq("url"), "left_anti"),
+               newCand.join(fUrls, Seq("url"), "left_semi"))
+            } else (newCand, newCand.limit(0))
+          val direct = newRows.select(
+            col("url"),
+            col("_h").as("url_hash"),
+            call_function("url_host", col("url")).as("host"),
+            call_function("url_domain", call_function("url_host", col("url"))).as("domain"),
+            lit(DB_UNFETCHED).cast("byte").as("status"),
+            lit(now).as("fetch_time"),
+            lit(0).as("retries"),
+            lit(cfg.fetchIntervalDefault).as("fetch_interval"),
+            col("score").cast("float").as("score"),
+            lit(null).cast("binary").as("signature"),
+            lit(0L).as("modified_time"),
+            lit(null).cast("string").as("repr_url"),
+            lit(-1L).as("generate_time"),
+            map_from_arrays(array().cast("array<string>"), array().cast("array<string>")).as("metadata"))
+          (seenSide.unionByName(backToJoin).drop("_h").as[FrontierUpdate], Some(direct))
+        case _ => (linked0, None)
+      }
 
     val old = frontier.toDF().select(
       col("url"), col("url_hash"), col("host"), col("domain"),
@@ -40,10 +86,27 @@ object UpdateDbColumnar {
       col("modified_time").as("o_mod"), col("repr_url").as("o_repr"),
       col("metadata").as("o_meta"))
 
-    val f = fetched.toDF().select(
+    val f0 = fetched.toDF().select(
       col("url").as("f_url"), col("status").as("f_status"),
       col("fetch_time").as("f_time"), col("signature").as("f_sig"),
       col("repr_url").as("f_repr"), col("metadata").as("f_meta"))
+    // the join assumes ONE fetch row per URL; with in-task redirect follow
+    // two partitions can fetch the same target — dedup latest-wins with the
+    // same deterministic (time, status, score) order as the typed merge
+    val f = if (cfg.redirectMax <= 0) f0
+      else {
+        val f0s = fetched.toDF().select(
+          col("url").as("f_url"), col("status").as("f_status"),
+          col("fetch_time").as("f_time"), col("signature").as("f_sig"),
+          col("repr_url").as("f_repr"), col("metadata").as("f_meta"),
+          col("score").as("f_score"))
+        f0s.groupBy(col("f_url"))
+          .agg(max_by(
+            struct(col("f_status"), col("f_time"), col("f_sig"), col("f_repr"), col("f_meta")),
+            struct(col("f_time"), col("f_status"), col("f_score"))).as("_w"))
+          .select(col("f_url"), col("_w.f_status").as("f_status"), col("_w.f_time").as("f_time"),
+            col("_w.f_sig").as("f_sig"), col("_w.f_repr").as("f_repr"), col("_w.f_meta").as("f_meta"))
+      }
 
     val l = linked.toDF().select(
       col("url").as("l_url"), col("score").as("l_credit"))
@@ -80,21 +143,41 @@ object UpdateDbColumnar {
         .when(col("f_sig") === bSig, 2)
         .otherwise(1)).otherwise(0)
 
-    // schedule arithmetic (Default / Adaptive per cfg)
-    val schedInterval: Column =
-      if (!cfg.adaptiveSchedule) bInterval
-      else {
-        val raw = when(modified === 1, bInterval.cast("float") * (1.0f - cfg.adaptiveDecRate))
-          .when(modified === 2, bInterval.cast("float") * (1.0f + cfg.adaptiveIncRate))
+    // schedule arithmetic (Default / Adaptive / MimeAdaptive / CC per cfg),
+    // same column-expression twin discipline as the rest of this file
+    val schedName = FetchSchedule.nameFor(cfg)
+    val schedInterval: Column = schedName match {
+      case "default" => bInterval
+      case "cc" => least(bInterval, lit(cfg.fetchIntervalMax)) // reset-to-max, no refetch churn
+      case _ => // adaptive | mime: per-mime rates fall back to the adaptive defaults
+        val (incC, decC): (Column, Column) =
+          if (schedName == "mime" && cfg.mimeScheduleRates.nonEmpty) {
+            // merged old∪fetch metadata (fetch wins), like the typed path's
+            // mergedMeta — a redirect row without a Content-Type falls back
+            // to the mime recorded by an earlier successful fetch
+            val ct = element_at(map_concat_safe(col("o_meta"), col("f_meta")), "content_type")
+            (coalesce(element_at(typedLit(cfg.mimeScheduleRates.view.mapValues(_._1).toMap), ct),
+               lit(cfg.adaptiveIncRate)),
+             coalesce(element_at(typedLit(cfg.mimeScheduleRates.view.mapValues(_._2).toMap), ct),
+               lit(cfg.adaptiveDecRate)))
+          } else (lit(cfg.adaptiveIncRate), lit(cfg.adaptiveDecRate))
+        val raw = when(modified === 1, bInterval.cast("float") * (lit(1.0f) - decC))
+          .when(modified === 2, bInterval.cast("float") * (lit(1.0f) + incC))
           .otherwise(bInterval.cast("float"))
         least(greatest(raw, lit(cfg.adaptiveMinInterval.toFloat)), lit(cfg.fetchIntervalMax.toFloat))
           .cast("int")
-      }
-    val schedTime = col("f_time") + schedInterval.cast("long") * 1000L
+    }
+    val schedTimeRaw = col("f_time") + schedInterval.cast("long") * 1000L
+    val schedTime =
+      if (schedName == "cc" && cfg.ccMaxDaysAhead > 0)
+        least(schedTimeRaw, col("f_time") + lit(cfg.ccMaxDaysAhead * 24L * 3600 * 1000))
+      else schedTimeRaw
 
-    // retry / gone schedules
+    // retry / gone schedules (CC pre-clamps the interval to max, like the
+    // typed CCFetchSchedule overrides)
+    val bIntervalRG = if (schedName == "cc") least(bInterval, lit(cfg.fetchIntervalMax)) else bInterval
     val retryRetries = bRetries + 1
-    val goneInterval = least(bInterval.cast("float") * 1.5f, lit(cfg.fetchIntervalMax * 0.9f))
+    val goneInterval = least(bIntervalRG.cast("float") * 1.5f, lit(cfg.fetchIntervalMax * 0.9f))
       .cast("int")
     val goneIntervalFloored = greatest(goneInterval, lit(1))
 
@@ -122,7 +205,7 @@ object UpdateDbColumnar {
 
     val newInterval = when(!hasFetch, bInterval)
       .when(isScheduled, schedInterval)
-      .when(isRetry && retryRetries < cfg.retryMax, bInterval)
+      .when(isRetry && retryRetries < cfg.retryMax, bIntervalRG)
       .when(isRetry || isGone, goneIntervalFloored)
       .otherwise(bInterval)
 
@@ -177,7 +260,11 @@ object UpdateDbColumnar {
         lit(-1L).as("generate_time"),
         newMeta.as("metadata"))
 
-    result.as[FrontierEntry]
+    val withDirect = directNew match {
+      case Some(d) => result.unionByName(d)
+      case None => result
+    }
+    withDirect.as[FrontierEntry]
   }
 
   private def emptyMeta: Column =

@@ -117,13 +117,17 @@ object Parse {
     ).as[FrontierUpdate]
   }
 
-  /** Fetch statuses as updatedb input rows. */
+  /** Fetch statuses as updatedb input rows. The page's Content-Type rides in
+    * the metadata (parse_meta → crawldb propagation; feeds the mime-adaptive
+    * schedule like the reference's HttpHeaders.CONTENT_TYPE key). */
   def fetchUpdates(pages: Dataset[FetchedPage]): Dataset[FrontierUpdate] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.map { p =>
+      val meta = if (p.content_type == null) Map.empty[String, String]
+                 else Map("content_type" -> p.content_type)
       FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
-        p.fetch_interval, p.score, p.signature, 0L, p.repr_url, Map.empty)
+        p.fetch_interval, p.score, p.signature, 0L, p.repr_url, meta)
     }
   }
 }

@@ -1,7 +1,9 @@
 package graft.seen
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -14,31 +16,87 @@ import org.apache.spark.util.sketch.BloomFilter
   * prefilter resolves the common case without touching the frontier:
   *
   *  - mightContain == false  ⇒ definitely NEW (bloom has no false negatives)
-  *  - mightContain == true   ⇒ maybe seen → exact left-anti join against the
-  *    frontier for just that (small, fpp-bounded) slice.
+  *  - mightContain == true   ⇒ maybe seen → exact resolution against the
+  *    frontier for just that (fpp-bounded) slice.
   *
-  * Build path: `df.stat.bloomFilter` aggregates per-partition filters and
-  * merges on the driver — fine up to ~10^8 bits; beyond that, raise fpp or
-  * shard by hash prefix (documented scale path).
+  * Lifecycle in the round loop (see CrawlRound): built once at inject,
+  * persisted as a SnapshotStore blob, loaded + broadcast each round, and
+  * MERGED (bitwise OR of equal-shaped filters) with a per-round bloom built
+  * over the round's update side (discovered links ∪ fetch results) — never
+  * by re-scanning the frontier. The filter is a SUPERSET of all URLs ever
+  * seen (purged rows stay in), which is exactly the URL-seen semantics; a
+  * false positive or a stale superset entry only routes a row through the
+  * exact join path, never drops it.
+  *
+  * Scale: `df.stat.bloomFilter` aggregates per-partition filters and merges
+  * on the driver — ~1.2 GB bits at 10^9 items / 1% fpp. Beyond that, shard
+  * by hash prefix (k independent blooms, each broadcast to the executors
+  * that own that prefix) — documented scale path; the envelope format below
+  * already carries capacity for that decision. Saturation (inserted >
+  * capacity) degrades fpp, not correctness; the round loop rebuilds from
+  * the frontier at 2× capacity when the insert counter crosses capacity.
   */
 object UrlSeen {
 
-  case class SeenFilter(bloom: Broadcast[BloomFilter]) {
+  case class SeenFilter(bloom: Broadcast[BloomFilter], expectedItems: Long,
+                        fpp: Double, approxInserted: Long) {
     def mightContain(h: Long): Boolean = bloom.value.mightContainLong(h)
+    def saturated: Boolean = approxInserted > expectedItems
   }
 
-  /** Build + broadcast the bloom over the frontier's url_hash column. */
-  def build(frontier: DataFrame, expectedItems: Long, fpp: Double): SeenFilter = {
+  /** Build + broadcast the bloom over a url_hash column. */
+  def build(frontier: DataFrame, expectedItems: Long, fpp: Double,
+            approxInserted: Long = -1L): SeenFilter = {
     val spark = frontier.sparkSession
     val bf = frontier.stat.bloomFilter("url_hash", expectedItems, fpp)
-    SeenFilter(spark.sparkContext.broadcast(bf))
+    val n = if (approxInserted >= 0) approxInserted else 0L
+    SeenFilter(spark.sparkContext.broadcast(bf), expectedItems, fpp, n)
+  }
+
+  /** Merge `updates` (url_hash column; the round's discovered ∪ fetched
+    * URLs — update-sized, NOT frontier-sized) into the existing filter.
+    * Returns a NEW broadcast; equal (capacity, fpp) shapes OR together. */
+  def merged(spark: SparkSession, seen: SeenFilter, updates: DataFrame,
+             updateCount: Long): SeenFilter = {
+    if (updates.isEmpty) return seen // stat.bloomFilter NPEs on zero rows
+    val add = updates.stat.bloomFilter("url_hash", seen.expectedItems, seen.fpp)
+    val combined = seen.bloom.value // driver-side copy is the authoritative one
+    combined.mergeInPlace(add)
+    SeenFilter(spark.sparkContext.broadcast(combined), seen.expectedItems, seen.fpp,
+      seen.approxInserted + updateCount)
+  }
+
+  // ---- blob (SnapshotStore) serialization: versioned envelope ----
+  private val Magic = 0x47424c4d // "GBLM"
+
+  def toBytes(seen: SeenFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(Magic)
+    out.writeInt(1) // version
+    out.writeLong(seen.expectedItems)
+    out.writeDouble(seen.fpp)
+    out.writeLong(seen.approxInserted)
+    seen.bloom.value.writeTo(out)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(spark: SparkSession, bytes: Array[Byte]): SeenFilter = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not a url-seen bloom blob")
+    require(in.readInt() == 1, "unknown url-seen blob version")
+    val expected = in.readLong()
+    val fpp = in.readDouble()
+    val inserted = in.readLong()
+    val bf = BloomFilter.readFrom(in)
+    SeenFilter(spark.sparkContext.broadcast(bf), expected, fpp, inserted)
   }
 
   /** Split candidates (must carry url_hash) into definitely-new rows plus the
     * exactly-resolved maybe-seen survivors. `frontierKeys` is the frontier
     * projected to url_hash (column pruning keeps the scan 8 bytes/row). */
   def filterUnseen(candidates: DataFrame, seen: SeenFilter, frontierKeys: DataFrame): DataFrame = {
-    val spark = candidates.sparkSession
     val bloomBc = seen.bloom
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
     val definitelyNew = candidates.filter(!mightContain(col("url_hash")))

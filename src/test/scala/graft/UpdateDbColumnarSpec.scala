@@ -48,4 +48,18 @@ class UpdateDbColumnarSpec extends AnyFunSuite with SparkSpecBase {
   test("columnar ≡ typed with purge404 and no additions") {
     assertSame(base.copy(purge404 = true, additionsAllowed = false))
   }
+
+  test("columnar ≡ typed, mime-adaptive schedule with per-mime rates") {
+    assertSame(base.copy(schedule = "mime",
+      mimeScheduleRates = Map("text/html" -> ((0.6f, 0.1f)))))
+  }
+
+  test("columnar ≡ typed, CC schedule with fetch-time horizon") {
+    assertSame(base.copy(schedule = "cc", ccMaxDaysAhead = 10,
+      fetchIntervalDefault = 20 * 24 * 3600))
+  }
+
+  test("columnar ≡ typed with the seen bloom + in-task redirects") {
+    assertSame(base.copy(useSeenBloom = true, redirectMax = 2))
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cli.CrawlRound
+import graft.fixtures.{SyntheticWeb, WebConfig}
+import graft.frontier.CrawlConfig
+import graft.seen.UrlSeen
+
+/** The URL-seen bloom wired into the round loop (north rule): the split path
+  * must be INVISIBLE in the results — crawls with the bloom on and off
+  * produce identical frontiers — while the blob persists, grows, and
+  * rebuilds on saturation. */
+class UrlSeenLoopSpec extends AnyFunSuite with SparkSpecBase {
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graft-seen").toString
+
+  val web = SyntheticWeb(WebConfig(nHosts = 8, pagesPerHost = 12, hotFactor = 4))
+  val baseCfg = CrawlConfig(topN = 300, maxPerHost = 40, numFetchPartitions = 4,
+    serverDelayMs = 500, fetchLatencyMs = 10)
+
+  private def frontierRows(storeRoot: String, cfg: CrawlConfig): Map[String, (Int, Long, Int, Int, Float)] = {
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 3, storeRoot)
+    store.load(spark, "frontier").get
+      .select("url", "status", "fetch_time", "retries", "fetch_interval", "score")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getByte(1).toInt, r.getLong(2), r.getInt(3), r.getInt(4), r.getFloat(5))))
+      .toMap
+  }
+
+  test("bloom on ≡ bloom off: identical frontier after 3 rounds (columnar path)") {
+    val on = frontierRows(tmp(), baseCfg.copy(useSeenBloom = true))
+    val off = frontierRows(tmp(), baseCfg.copy(useSeenBloom = false))
+    assert(on.keySet == off.keySet, {
+      val d1 = on.keySet -- off.keySet; val d2 = off.keySet -- on.keySet
+      s"url sets differ; on-only=${d1.take(5)} off-only=${d2.take(5)}"
+    })
+    for ((u, row) <- on) assert(row == off(u), s"row mismatch for $u: $row vs ${off(u)}")
+  }
+
+  test("bloom on ≡ bloom off with the typed updatedb and in-task redirects") {
+    val c = baseCfg.copy(columnarUpdateDb = false, redirectMax = 2)
+    val on = frontierRows(tmp(), c.copy(useSeenBloom = true))
+    val off = frontierRows(tmp(), c.copy(useSeenBloom = false))
+    assert(on.keySet == off.keySet)
+    for ((u, row) <- on) assert(row == off(u), s"row mismatch for $u")
+  }
+
+  test("bloom blob persists per round and is a superset of the frontier") {
+    val root = tmp()
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, baseCfg, rounds = 2, root)
+    val sf = UrlSeen.fromBytes(spark, store.loadBlob("seen_bloom").get)
+    val hashes = store.load(spark, "frontier").get.select("url_hash")
+      .collect().map(_.getLong(0))
+    assert(hashes.nonEmpty)
+    assert(hashes.forall(sf.mightContain), "bloom must contain every frontier url_hash")
+    assert(store.current("seen_bloom").get.round == 2)
+  }
+
+  test("saturated bloom rebuilds at doubled capacity, crawl results unchanged") {
+    // capacity 64 << real frontier: saturation hit after round 1
+    val c = baseCfg.copy(bloomExpectedItems = 64)
+    val root = tmp()
+    val (store, stats) = CrawlRound.syntheticCrawl(spark, web, c, rounds = 3, root)
+    val sf = UrlSeen.fromBytes(spark, store.loadBlob("seen_bloom").get)
+    // rebuild happened: capacity grew beyond the configured 64
+    assert(sf.expectedItems > 64, s"expected rebuild, capacity=${sf.expectedItems}")
+    // and the frontier still matches the bloom-off crawl
+    val on = store.load(spark, "frontier").get.select("url").collect().map(_.getString(0)).toSet
+    val offRoot = tmp()
+    val (offStore, _) = CrawlRound.syntheticCrawl(spark, web, c.copy(useSeenBloom = false), rounds = 3, offRoot)
+    val off = offStore.load(spark, "frontier").get.select("url").collect().map(_.getString(0)).toSet
+    assert(on == off)
+  }
+
+  test("seen filter round-trips through the blob envelope") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("url_hash")
+    val sf = UrlSeen.build(df, 2048, 0.01, approxInserted = 1000)
+    val back = UrlSeen.fromBytes(spark, UrlSeen.toBytes(sf))
+    assert(back.expectedItems == 2048 && back.fpp == 0.01 && back.approxInserted == 1000)
+    assert((1L to 1000L).forall(back.mightContain))
+    val misses = (100001L to 101000L).count(back.mightContain)
+    assert(misses < 50, s"fpp should hold, got $misses/1000")
+  }
+}
