@@ -68,6 +68,10 @@ object SparkEntry {
     "q_state_transition" -> (Relational.stateTransition _),
     "q_events_window" -> (Relational.eventsWindow _),
     "q_url_canonicalize" -> (Relational.urlCanonicalize _),
+    "q_registered_domain" -> (Relational.registeredDomain _),
+    "q_score_quantiles" -> (Relational.scoreQuantiles _),
+    "q_segment_merge" -> (Relational.segmentMerge _),
+    "q_mime_resolve" -> (Relational.mimeResolve _),
     // --- text analysis (documents) ---
     "q_token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
     "q_bpeish_tokens" -> ((s, d) => TextOps.bpeishTokenCount(docs(s, d))),
@@ -171,6 +175,51 @@ object SparkEntry {
       """SELECT doc_id,
                 'http://host-' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/' || source || '/?id=' || CAST(doc_id AS VARCHAR) AS canon,
                 'host-' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host
+         FROM documents""",
+    "q_registered_domain" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 6 AS INTEGER)
+                  WHEN 0 THEN 'www.site' || CAST(doc_id AS VARCHAR) || '.com'
+                  WHEN 1 THEN 'a.b.site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+                  WHEN 2 THEN 'deep.proj' || CAST(doc_id AS VARCHAR) || '.github.io'
+                  WHEN 3 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.com.au'
+                  WHEN 4 THEN 'x.y.site' || CAST(doc_id AS VARCHAR) || '.ck'
+                  ELSE 'www.ck' END AS host,
+                CASE CAST(doc_id % 6 AS INTEGER)
+                  WHEN 0 THEN 'site' || CAST(doc_id AS VARCHAR) || '.com'
+                  WHEN 1 THEN 'site' || CAST(doc_id AS VARCHAR) || '.co.uk'
+                  WHEN 2 THEN 'proj' || CAST(doc_id AS VARCHAR) || '.github.io'
+                  WHEN 3 THEN 'shop' || CAST(doc_id AS VARCHAR) || '.com.au'
+                  WHEN 4 THEN 'y.site' || CAST(doc_id AS VARCHAR) || '.ck'
+                  ELSE 'www.ck' END AS domain
+         FROM documents""",
+    "q_score_quantiles" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(quantile_cont(o_totalprice, 0.25), 2) AS q25,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS q50,
+                round(quantile_cont(o_totalprice, 0.75), 2) AS q75,
+                round(quantile_cont(o_totalprice, 0.9), 2) AS q90
+         FROM orders GROUP BY o_orderstatus""",
+    "q_segment_merge" ->
+      """SELECT l_orderkey, l_linenumber AS last_linenumber, l_quantity AS last_quantity
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) rn
+               FROM lineitem) t WHERE rn = 1""",
+    "q_mime_resolve" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 'text/HTML; charset=UTF-8'
+                  WHEN 2 THEN 'application/octet-stream'
+                  ELSE NULL END AS content_type,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 1 THEN 'http://h.example.com/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+                  WHEN 2 THEN 'http://h.example.com/img' || CAST(doc_id AS VARCHAR) || '.png'
+                  ELSE 'http://h.example.com/page' || CAST(doc_id AS VARCHAR) END AS url,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 'text/html'
+                  WHEN 1 THEN 'application/pdf'
+                  WHEN 2 THEN 'image/png'
+                  ELSE 'text/html' END AS mime
          FROM documents""",
     "q_token_count" ->
       """SELECT doc_id, len(str_split(trim(text), ' ')) AS n_tokens, length(text) AS n_chars_actual

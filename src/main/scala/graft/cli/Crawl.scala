@@ -79,6 +79,15 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
 
   def domainStats: DataFrame = graft.frontier.FrontierTools.domainStats(typedFrontier)
 
+  /** Score-distribution quantiles per status (CrawlDbReader stats verb). */
+  def scoreQuantiles(qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame =
+    graft.segment.SegmentTools.scoreQuantiles(frontier, qs)
+
+  /** Latest-wins merge of several rounds' fetched (or parsed) segments. */
+  def mergeSegments(table: String, rounds: Seq[Int], sliceExpr: Option[String] = None): Option[DataFrame] =
+    graft.segment.SegmentTools.mergeRounds(spark, store, table,
+      rounds, key = if (table == "parsed") "doc_id" else "url", sliceExpr)
+
   def sample(perDomain: Int, perHost: Int, seed: Long = 42L): DataFrame =
     graft.frontier.FrontierTools.sampleUrls(typedFrontier, perDomain, perHost, seed)
 
@@ -87,6 +96,21 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
   def filterAndNormalize(purge404: Boolean = true): Unit = {
     val cleaned = graft.frontier.FrontierTools.filterAndNormalize(typedFrontier, purge404)
     store.commit("frontier", cleaned.toDF(), lastRound + 1)
+  }
+
+  /** Sitemap stage (reference SitemapProcessor / `bin/crawl --sitemaps-from-hostdb`):
+    * fetch the sitemaps advertised by the frontier's hosts and inject their
+    * URLs; committed at the checkpoint round like a mid-crawl inject. */
+  def processSitemaps(sitemapScore: Float = 0.5f): Long = {
+    val merged = graft.frontier.Sitemaps.process(typedFrontier, fetcher, cfg,
+      startTimeMs + lastRound.toLong * roundIntervalMs, sitemapScore)
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("sitemaps" + System.nanoTime())
+    val round = store.lastCompletedRound.getOrElse(0)
+    val tag = if (store.current("frontier").isEmpty) "" else store.freshTag("frontier", round, "sitemaps")
+    store.commit("frontier", merged.toDF().observe(obs, count(lit(1)).as("n")), round, tag)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Index export (the reference's `index` stage, IndexWriters sinks reduced

@@ -65,11 +65,12 @@ object CrawlRound {
   /** One full crawl round over the given fetcher. Reads the frontier at the
     * last committed snapshot, commits frontier/fetched/parsed at `round`.
     *
-    * Action economy (the 100 TB discipline): one round = 4 Spark jobs —
+    * Action economy (the 100 TB discipline): one round = 3 core Spark jobs —
     * fetched write (materializes generate→fetch), parsed write (from cached
-    * pages), the mark-back broadcast build, and the frontier write
-    * (updatedb shuffle + dedup). Every row count rides on those writes as
-    * an `Observation`; there are NO standalone .count() passes. */
+    * pages), and the frontier write (updatedb shuffle + dedup) — plus the
+    * update-sized seen-bloom merge. The mark-back broadcast build runs ONLY
+    * under generate.update.crawldb=true. Every row count rides on the writes
+    * as an `Observation`; there are NO standalone .count() passes. */
   def run(
       spark: SparkSession,
       store: SnapshotStore,
@@ -129,9 +130,14 @@ object CrawlRound {
     // (allowRewind); the frontier commit itself keeps the strict guard.
     val obsFetch = Observation(s"fetch_r$round")
     timed("generate+fetch+write") {
+      graft.functions.GraftFunctions.register(spark)
       store.commit("fetched",
         pages.toDF().observe(obsFetch, count(lit(1)).as("fetched"))
-          .drop("spans"), round, allowRewind = true)
+          .drop("spans")
+          // resolved mime (header-normalized | by-extension | default) as a
+          // first-class crawl_fetch column, like the reference's parse_data
+          .withColumn("mime", call_function("mime_resolve", col("content_type"), col("url"))),
+        round, allowRewind = true)
     }
     val fetchedPages = obsFetch.get("fetched").asInstanceOf[Long]
 
@@ -163,12 +169,16 @@ object CrawlRound {
         }
       }
 
-    // --- updatedb (job 3: mark-back broadcast build; job 4: frontier write) ---
+    // --- updatedb. generate.update.crawldb=false (reference default): the
+    //     unmarked frontier feeds the co-group and the mark-back join NEVER
+    //     RUNS (markedFrontier is lazy) — one fewer frontier-wide shuffle
+    //     per round. When true, the _ngt_ stamp rides in and persists. ---
+    val dbIn = if (cfg.generateUpdateDb) markedFrontier else frontier
     val fetchUpdates = Parse.fetchUpdates(pages)
     val linked = Parse.linkedUpdates(pages, cfg, round)
     val newFrontier0 =
-      if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(markedFrontier, fetchUpdates, linked, cfg, now, seen)
-      else UpdateDb.run(markedFrontier, fetchUpdates, linked, cfg, now, seen)
+      if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(dbIn, fetchUpdates, linked, cfg, now, seen)
+      else UpdateDb.run(dbIn, fetchUpdates, linked, cfg, now, seen)
     // dedup consumes the merged frontier three times (candidates, keep-best
     // aggregation, pass-through rest): persist so the merge runs once
     val newFrontier =

@@ -92,18 +92,40 @@ case class SyntheticWeb(cfg: WebConfig) extends Serializable {
     }
   }
 
-  /** The robots.txt BODY a host serves (None = robots endpoint 5xx).
-    * Real text, so the fetch stack exercises the actual robots parser. */
-  def robotsTxt(host: String): Option[String] = robots(host) match {
-    case RobotsPolicy.AllowAll => Some("User-agent: *\nDisallow:\n")
-    case RobotsPolicy.DenyAll => Some("User-agent: *\nDisallow: /\n")
-    case RobotsPolicy.CrawlDelay(s) => Some(s"User-agent: *\nDisallow:\nCrawl-delay: $s\n")
-    case RobotsPolicy.Unavailable5xx => None
+  /** Hosts advertising a sitemap (deterministic subset of the allow-all
+    * hosts) and the page indices it lists: every 3rd page (some of which
+    * the link graph may never reach — the point of sitemap injection). */
+  def sitemapPages(host: String): Option[Seq[Int]] = {
+    if (robots(host) != RobotsPolicy.AllowAll) return None
+    if (math.floorMod(Urls.hash64(host) ^ (cfg.seed * 17), 3L) != 0L) return None
+    locateHost(host).map(idx => (0 until pageCount(idx) by 3))
   }
 
-  /** Fetch behavior per URL: ~82% ok, 5% 404, 7% redirects, 6% 5xx. */
+  private def locateHost(host: String): Option[Int] = {
+    if (host == null || !host.endsWith(".fix.test") || !host.startsWith("host-")) return None
+    host.substring(5, host.indexOf('.')).toIntOption.filter(i => i >= 0 && i < cfg.nHosts)
+  }
+
+  def sitemapUrl(host: String): String = s"http://$host/sitemap.xml"
+
+  /** The robots.txt BODY a host serves (None = robots endpoint 5xx).
+    * Real text, so the fetch stack exercises the actual robots parser;
+    * sitemap hosts advertise their sitemap via a Sitemap: line. */
+  def robotsTxt(host: String): Option[String] = {
+    val sm = sitemapPages(host).map(_ => s"Sitemap: ${sitemapUrl(host)}\n").getOrElse("")
+    robots(host) match {
+      case RobotsPolicy.AllowAll => Some(s"User-agent: *\nDisallow:\n$sm")
+      case RobotsPolicy.DenyAll => Some("User-agent: *\nDisallow: /\n")
+      case RobotsPolicy.CrawlDelay(s) => Some(s"User-agent: *\nDisallow:\nCrawl-delay: $s\n")
+      case RobotsPolicy.Unavailable5xx => None
+    }
+  }
+
+  /** Fetch behavior per URL: ~82% ok, 5% 404, 7% redirects, 6% 5xx.
+    * Sitemap endpoints always serve (their doc is the URL list). */
   def behavior(url: String): PageBehavior =
     locate(url) match {
+      case None if isSitemap(url) => Ok
       case None => NotFound
       case Some((hostIdx, page)) =>
         if (page == 0) Ok // homepages always fetch (seeds must succeed)
@@ -117,10 +139,25 @@ case class SyntheticWeb(cfg: WebConfig) extends Serializable {
         }
     }
 
+  private def isSitemap(url: String): Boolean = {
+    val host = Urls.hostOf(url)
+    host != null && url.endsWith("/sitemap.xml") && sitemapPages(host).isDefined
+  }
+
   /** Render the interleaved spans of a page. Deterministic per URL.
     * Duplicate-content trap: pages with page % 17 == 5 render the same text
-    * as page-1 on the same host (signature-dedup fixture). */
+    * as page-1 on the same host (signature-dedup fixture).
+    * Sitemap endpoints render as pure link-span lists (the processor reads
+    * them like the reference parses sitemap XML). */
   def render(url: String): Doc = {
+    if (isSitemap(url)) {
+      val host = Urls.hostOf(url)
+      val hostIdx = locateHost(host).get
+      val spans = sitemapPages(host).get.zipWithIndex.map { case (p, i) =>
+        Span("link", null, pageUrl(hostIdx, p), i)
+      }
+      return Doc(url, spans)
+    }
     val (hostIdx, page) = locate(url).getOrElse(return Doc(url, Seq.empty))
     val contentKey = if (page % 17 == 5 && page > 0) pageUrl(hostIdx, page - 1) else url
     val r = rng(contentKey, 0x7ea7L)

@@ -29,6 +29,11 @@ case class CrawlConfig(
     maxPerDomain: Int = Int.MaxValue,
     maxNumSegments: Int = 1,                     // generate.max.num.segments (per-host overflow spill)
     generateDelayMs: Long = 7L * 24 * 3600 * 1000, // crawl.gen.delay (re-generate block)
+    generateUpdateDb: Boolean = false,           // generate.update.crawldb (reference default false):
+                                                 // when true, the _ngt_ mark-back rides into updatedb and
+                                                 // PERSISTS until crawl.gen.delay expires; when false the
+                                                 // sequential round loop skips the mark-back frontier join
+                                                 // entirely (one fewer frontier-wide shuffle per round)
     numFetchPartitions: Int = 8,                 // ≙ fetch task count
     minScore: Float = Float.NegativeInfinity,    // generate.min.score
     markBackBroadcastMaxUrls: Long = 200000,     // generate mark-back: broadcast the selected set up to
@@ -61,6 +66,9 @@ case class CrawlConfig(
     maxOutlinkLength: Int = 4096,                // outlinks longer than this are dropped pre-canonicalize
     ignoreExternalLinks: Boolean = false,        // db.ignore.external.links
     ignoreExternalLinksMode: String = "byHost",  // "byHost" | "byDomain"
+    extraUrlFilters: Seq[graft.url.UrlFilter] = Nil, // pluggable filter chain (prefix/suffix/domain/regex
+                                                 // variants) applied AFTER the static default chain on
+                                                 // seeds and discovered outlinks
     // seen
     useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,

@@ -27,6 +27,7 @@ object Inject {
     val parts = t.split("\t").filter(_.nonEmpty)
     val url = UrlFilters.canonicalizeAndFilter(parts.head.trim)
     if (url == null) return None
+    if (!cfg.extraUrlFilters.forall(_.accept(url))) return None
     var score = cfg.injectedScore
     var interval = cfg.fetchIntervalDefault
     val md = Map.newBuilder[String, String]

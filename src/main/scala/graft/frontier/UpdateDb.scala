@@ -83,7 +83,10 @@ object UpdateDb {
       else if (fetchIsLink) base.metadata
       else base.metadata ++ fetch.metadata
 
-    var e = base.copy(metadata = mergedMeta, generate_time = -1L)
+    // the _ngt_ mark persists until crawl.gen.delay expires (it is metadata
+    // in the reference); new rows carry -1
+    var e = base.copy(metadata = mergedMeta,
+      generate_time = if (old != null) old.generate_time else -1L)
 
     e = fetch.status match {
       case s if fetchIsLink =>
@@ -141,12 +144,13 @@ object UpdateDb {
     val host = Urls.hostOf(url)
     FrontierEntry(url, Urls.hash64(url), host, Urls.registeredDomainOf(host),
       u.status, u.fetch_time, u.retries, u.fetch_interval, u.score, u.signature,
-      u.modified_time, u.repr_url, -1L, u.metadata)
+      u.modified_time, u.repr_url, u.generate_time, u.metadata)
   }
 
   def asOld(e: FrontierEntry): FrontierUpdate =
     FrontierUpdate(e.url, "old", e.status, e.fetch_time, e.retries,
-      e.fetch_interval, e.score, e.signature, e.modified_time, e.repr_url, e.metadata)
+      e.fetch_interval, e.score, e.signature, e.modified_time, e.repr_url, e.metadata,
+      e.generate_time)
 
   /** Distributed updatedb: frontier ∪ fetch results ∪ inlink credits → new
     * frontier. With a URL-seen bloom, definitely-new discovered links skip

@@ -84,7 +84,7 @@ object UpdateDbColumnar {
       col("retries").as("o_retries"), col("fetch_interval").as("o_interval"),
       col("score").as("o_score"), col("signature").as("o_sig"),
       col("modified_time").as("o_mod"), col("repr_url").as("o_repr"),
-      col("metadata").as("o_meta"))
+      col("metadata").as("o_meta"), col("generate_time").as("o_gen"))
 
     val f0 = fetched.toDF().select(
       col("url").as("f_url"), col("status").as("f_status"),
@@ -257,7 +257,7 @@ object UpdateDbColumnar {
         when(overflow, lit(null).cast("binary")).otherwise(newSig).as("signature"),
         when(overflow, lit(0L)).otherwise(newMod).as("modified_time"),
         newRepr.as("repr_url"),
-        lit(-1L).as("generate_time"),
+        coalesce(col("o_gen"), lit(-1L)).as("generate_time"), // _ngt_ persists (typed-path twin)
         newMeta.as("metadata"))
 
     val withDirect = directNew match {

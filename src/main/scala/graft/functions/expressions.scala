@@ -114,6 +114,35 @@ case class TextFingerprint64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_fingerprint64"
 }
 
+/** Content-type resolution: normalized header | by-URL-extension | default
+  * (reference MimeUtil.autoResolveContentType). Binary, codegen'd. */
+case class MimeResolve(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ct = left.eval(input)
+    val url = right.eval(input)
+    UTF8String.fromString(graft.url.Mime.resolve(
+      if (ct == null) null else ct.asInstanceOf[UTF8String].toString,
+      if (url == null) null else url.asInstanceOf[UTF8String].toString))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${l.code}
+      ${r.code}
+      boolean ${ev.isNull} = false;
+      UTF8String ${ev.value} = UTF8String.fromString(graft.url.Mime.resolve(
+        ${l.isNull} ? null : ${l.value}.toString(),
+        ${r.isNull} ? null : ${r.value}.toString()));""")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "mime_resolve"
+}
+
 /** URL filter predicate (true = keep). */
 case class UrlAccept(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType

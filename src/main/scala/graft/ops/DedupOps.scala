@@ -66,7 +66,8 @@ object DedupOps {
   /** Exact word-n-gram Jaccard pairs ≥ threshold via an inverted index on
     * shingle strings (the quadratic-exact sibling of minhashLshPairs). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = docShinglesRaw(docs, n).cache()
+    val sh = docShinglesRaw(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-scale shingles must spill, not OOM
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -118,7 +119,8 @@ object DedupOps {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shingles = docShingles(docs, shingleN).cache() // reused: signatures + verify
+    val shingles = docShingles(docs, shingleN) // reused: signatures + verify
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // spill-tolerant at corpus scale
     val sig = minhashSignatures(shingles, numHashes, seed)
 
     // band buckets: hash of each band's minhash slice

@@ -61,6 +61,16 @@ object Parse {
         explode(col("links")).as("l"))
       .withColumn("to_url", call_function("url_canon_filter", col("l.media_ref")))
       .filter(col("to_url").isNotNull && col("to_url") =!= col("from_url"))
+      // pluggable filter chain (prefix/suffix/domain/regex variants): UDF
+      // only when configured — the default path stays whole-stage codegen
+      .transform { df =>
+        if (cfg.extraUrlFilters.isEmpty) df
+        else {
+          val chain = graft.url.UrlFilterChain(cfg.extraUrlFilters)
+          val ok = udf((u: String) => chain.accept(u))
+          df.filter(ok(col("to_url")))
+        }
+      }
       .withColumn("to_host", call_function("url_host", col("to_url")))
       .withColumn("internal",
         if (cfg.ignoreExternalLinksMode == "byDomain")
@@ -113,7 +123,8 @@ object Parse {
       lit(null).cast("binary").as("signature"),
       lit(0L).as("modified_time"),
       lit(null).cast("string").as("repr_url"),
-      typedLit(Map.empty[String, String]).as("metadata")
+      typedLit(Map.empty[String, String]).as("metadata"),
+      lit(-1L).as("generate_time")
     ).as[FrontierUpdate]
   }
 

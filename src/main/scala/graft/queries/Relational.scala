@@ -154,13 +154,15 @@ object Relational {
       lit(cfg.fetchIntervalDefault).as("fetch_interval"), lit(1.0f).as("score"),
       lit(null).cast("binary").as("signature"), lit(0L).as("modified_time"),
       lit(null).cast("string").as("repr_url"),
-      typedLit(Map.empty[String, String]).as("metadata")).as[FrontierUpdate]
+      typedLit(Map.empty[String, String]).as("metadata"),
+      lit(-1L).as("generate_time")).as[FrontierUpdate]
     val fetches = base.select(col("url"), lit("fetch").as("kind"), col("fetch_status").as("status"),
       lit(now).as("fetch_time"), col("retries"),
       lit(cfg.fetchIntervalDefault).as("fetch_interval"), lit(1.0f).as("score"),
       lit(null).cast("binary").as("signature"), lit(0L).as("modified_time"),
       lit(null).cast("string").as("repr_url"),
-      typedLit(Map.empty[String, String]).as("metadata")).as[FrontierUpdate]
+      typedLit(Map.empty[String, String]).as("metadata"),
+      lit(-1L).as("generate_time")).as[FrontierUpdate]
 
     olds.unionByName(fetches)
       .groupByKey(_.url)
@@ -188,4 +190,67 @@ object Relational {
       .select(col("doc_id"), call_function("url_canonicalize", col("raw")).as("canon"),
         call_function("url_host", call_function("url_canonicalize", col("raw"))).as("host"))
   }
+
+  /** §2.7 registered-domain extraction through the PSL rules engine: six
+    * suffix classes (plain gTLD, ccTLD second-level, private suffix,
+    * wildcard rule, exception rule) — the oracle states the EXPECTED
+    * registered domain per class, so a PSL regression breaks the hash. */
+  def registeredDomain(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val k = col("doc_id").cast("string")
+    val host = when(col("doc_id") % 6 === 0, concat(lit("www.site"), k, lit(".com")))
+      .when(col("doc_id") % 6 === 1, concat(lit("a.b.site"), k, lit(".co.uk")))
+      .when(col("doc_id") % 6 === 2, concat(lit("deep.proj"), k, lit(".github.io")))
+      .when(col("doc_id") % 6 === 3, concat(lit("shop"), k, lit(".com.au")))
+      .when(col("doc_id") % 6 === 4, concat(lit("x.y.site"), k, lit(".ck")))
+      .otherwise(lit("www.ck"))
+    documents(s, dir)
+      .select(col("doc_id"), host.as("host"))
+      .withColumn("domain", call_function("url_domain", col("host")))
+  }
+
+  /** §2.4 score-distribution quantiles (CrawlDbReader stats verb): exact
+    * percentiles per status group, one aggregation. */
+  def scoreQuantiles(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(percentile(col("o_totalprice"), lit(0.25)), 2).as("q25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 2).as("q50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 2).as("q75"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 2).as("q90"))
+
+  /** §2.7 mime resolution: header normalization + by-extension fallback +
+    * default (MimeUtil.autoResolveContentType), through the codegen'd
+    * mime_resolve expression. Four classes: parameterized header, missing
+    * header with a typed extension, opaque header with a typed extension,
+    * nothing usable → default. */
+  def mimeResolve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val k = col("doc_id").cast("string")
+    val ct = when(col("doc_id") % 4 === 0, lit("text/HTML; charset=UTF-8"))
+      .when(col("doc_id") % 4 === 2, lit("application/octet-stream"))
+      .otherwise(lit(null).cast("string"))
+    val url = when(col("doc_id") % 4 === 1, concat(lit("http://h.example.com/doc"), k, lit(".pdf")))
+      .when(col("doc_id") % 4 === 2, concat(lit("http://h.example.com/img"), k, lit(".png")))
+      .otherwise(concat(lit("http://h.example.com/page"), k))
+    documents(s, dir)
+      .select(col("doc_id"), ct.as("content_type"), url.as("url"))
+      .withColumn("mime", call_function("mime_resolve", col("content_type"), col("url")))
+  }
+
+  /** §2.5 segment merge: latest row per key across segments (SegmentMerger
+    * semantics) — one shuffle, partial-aggregated max_by, the exact plan
+    * SegmentTools.mergeRounds uses. */
+  def segmentMerge(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max_by(
+        struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+        // total recency order: the synthetic lineitem has duplicate
+        // (orderkey, linenumber) pairs, so ties must break deterministically
+        struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))).as("_w"))
+      .select(col("l_orderkey"), col("_w.l_linenumber").as("last_linenumber"),
+        col("_w.l_quantity").as("last_quantity"))
 }

@@ -105,7 +105,8 @@ case class FrontierUpdate(
     signature: Array[Byte],
     modified_time: Long,
     repr_url: String,
-    metadata: Map[String, String]
+    metadata: Map[String, String],
+    generate_time: Long = -1L // carried on "old" rows only (the _ngt_ mark)
 )
 
 /** Per-host aggregate (HostDatum equivalent; `exceptions`/`robots_denied`

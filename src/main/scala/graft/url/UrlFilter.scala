@@ -17,6 +17,65 @@ trait UrlFilter extends Serializable {
   def accept(url: String): Boolean
 }
 
+/** All filters must accept (the reference's filter chain: any plugin
+  * returning null drops the URL). */
+case class UrlFilterChain(filters: Seq[UrlFilter]) extends UrlFilter {
+  override def accept(url: String): Boolean = filters.forall(_.accept(url))
+}
+
+/** urlfilter-prefix: pass only URLs starting with a listed prefix
+  * (deny = true inverts: drop listed prefixes). */
+case class PrefixUrlFilter(prefixes: Seq[String], deny: Boolean = false) extends UrlFilter {
+  override def accept(url: String): Boolean = {
+    if (url == null) return false
+    val hit = prefixes.exists(url.startsWith)
+    if (deny) !hit else hit
+  }
+}
+
+/** urlfilter-suffix: drop URLs whose path ends with a listed suffix
+  * (deny = false inverts into an allow-list). Suffixes are matched on the
+  * path only, case-insensitively, like the reference's suffix filter. */
+case class SuffixUrlFilter(suffixes: Seq[String], deny: Boolean = true) extends UrlFilter {
+  private val lower = suffixes.map(_.toLowerCase(Locale.ROOT))
+  override def accept(url: String): Boolean = {
+    if (url == null) return false
+    val q = url.indexOf('?')
+    val path = (if (q < 0) url else url.substring(0, q)).toLowerCase(Locale.ROOT)
+    val hit = lower.exists(path.endsWith)
+    if (deny) !hit else hit
+  }
+}
+
+/** urlfilter-domain: pass only URLs whose host, registered domain or TLD is
+  * listed (deny = true inverts — the urlfilter-domaindenylist behavior). */
+case class DomainUrlFilter(domains: Set[String], deny: Boolean = false) extends UrlFilter {
+  private val lower = domains.map(_.toLowerCase(Locale.ROOT))
+  override def accept(url: String): Boolean = {
+    val host = Urls.hostOf(url)
+    if (host == null) return false
+    val dom = Urls.registeredDomainOf(host)
+    val suffix = PublicSuffix.publicSuffixOf(host) // reference matches host|domain|suffix
+    val tld = host.substring(host.lastIndexOf('.') + 1)
+    val hit = lower.contains(host) || lower.contains(dom) ||
+      lower.contains(suffix) || lower.contains(tld)
+    if (deny) !hit else hit
+  }
+}
+
+/** urlfilter-regex: ordered +/- rules, FIRST match decides; no match ⇒ drop
+  * (reference RegexURLFilter.java:113 returns null when nothing matches —
+  * the shipped template ends with `+.` to accept the rest). */
+case class RegexUrlFilter(rules: Seq[(Boolean, String)]) extends UrlFilter {
+  private val compiled = rules.map { case (sign, re) => (sign, re.r.unanchored) }
+  override def accept(url: String): Boolean = {
+    if (url == null) return false
+    compiled.collectFirst {
+      case (sign, re) if re.findFirstIn(url).isDefined => sign
+    }.getOrElse(false)
+  }
+}
+
 object UrlFilters {
 
   /** Media/binary suffixes dropped by the default rules. */

@@ -208,25 +208,13 @@ object Urls {
     if (h.isEmpty) null else h
   }
 
-  /** Multi-label public suffixes for registered-domain extraction. Same
-    * algorithm family as the reference's EffectiveTldFinder (public-suffix
-    * longest match); list reduced to common suffixes + the fixture TLD. */
-  private val MultiSuffix = Set(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.nz", "co.za", "com.ar", "com.tr", "co.kr", "com.sg", "fix.test"
-  )
-
-  /** Registered domain (one label below the public suffix). */
-  def registeredDomainOf(host: String): String = {
-    if (host == null) return null
-    val labels = host.split('.')
-    if (labels.length <= 1) return host
-    val last2 = labels.takeRight(2).mkString(".")
-    val last3 = if (labels.length >= 3) labels.takeRight(3).mkString(".") else null
-    if (MultiSuffix.contains(last2) && labels.length >= 3) last3
-    else last2
-  }
+  /** Registered domain (one label below the public suffix) — full PSL rule
+    * semantics (wildcards, exceptions, private suffixes) via [[PublicSuffix]];
+    * the reference uses crawler-commons EffectiveTldFinder for the same
+    * purpose (URLPartitioner.java:105-107). Wrong suffix handling here means
+    * wrong per-domain caps and dedup keys (e.g. all of *.github.io collapsing
+    * into one "domain"). */
+  def registeredDomainOf(host: String): String = PublicSuffix.registeredDomainOf(host)
 
   /** Path + query of a URL ("/" if none) — the portion robots.txt rules
     * match against (crawler-commons matches path+query too). */

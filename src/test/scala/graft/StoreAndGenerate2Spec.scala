@@ -142,6 +142,20 @@ class StoreAndGenerate2Spec extends AnyFunSuite with SparkSpecBase {
     assert(internalOnly == Set("http://a.fix.test/other"), s"external must be dropped: $internalOnly")
   }
 
+  test("generate.update.crawldb: stamps persist when on, mark-back join skipped when off") {
+    // off (reference default): committed frontier carries no _ngt_ stamps
+    val (storeOff, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, tmp())
+    val gtOff = storeOff.load(spark, "frontier").get
+      .select("generate_time").distinct().collect().map(_.getLong(0)).toSet
+    assert(gtOff == Set(-1L), s"no stamps expected with the default config: $gtOff")
+    // on: generated rows keep their stamp through updatedb
+    val cfgOn = cfg.copy(generateUpdateDb = true)
+    val (storeOn, _) = CrawlRound.syntheticCrawl(spark, web, cfgOn, rounds = 1, tmp())
+    val stamped = storeOn.load(spark, "frontier").get
+      .filter(col("generate_time") > 0).count()
+    assert(stamped > 0, "generated rows must keep the _ngt_ stamp with update.crawldb on")
+  }
+
   test("filterAndNormalize commits as a NEW round (source snapshot untouched)") {
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)

@@ -62,4 +62,8 @@ class UpdateDbColumnarSpec extends AnyFunSuite with SparkSpecBase {
   test("columnar ≡ typed with the seen bloom + in-task redirects") {
     assertSame(base.copy(useSeenBloom = true, redirectMax = 2))
   }
+
+  test("columnar ≡ typed with generate.update.crawldb mark-back persistence") {
+    assertSame(base.copy(generateUpdateDb = true, generateDelayMs = 1000))
+  }
 }
