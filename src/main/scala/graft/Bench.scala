@@ -9,18 +9,23 @@ import graft.frontier.CrawlConfig
 /** Benchmark main (driver contract): one JSON line on stdout.
   *
   * Two parts:
-  *  1. headline operator queries over SPARK_GRAFT_SF_DIR (sf0.1 for the
-  *     driver) — per-query seconds under "queries";
-  *  2. the authoritative crawl metric (BASELINE.json): fetched URLs/sec for
+  *  1. the authoritative crawl metric (BASELINE.json): fetched URLs/sec for
   *     a full generate→fetch→parse→updatedb round over a synthetic frontier
   *     (politeness simulated on the virtual clock, so wall time measures the
-  *     ENGINE, not sleeps). Scaling efficiency = run this binary at
-  *     SPARK_GRAFT_CPUS=8 then 32 (see BASELINE.md protocol).
+  *     ENGINE, not sleeps). Scaling efficiency evidence lives in
+  *     graft.tools.ScalingBench (see BASELINE.md protocol).
+  *  2. headline operator queries over SPARK_GRAFT_SF_DIR (sf0.1 for the
+  *     driver) — per-query seconds under "queries".
+  *
+  * ORDER MATTERS: the crawl phase runs FIRST, in the pristine JVM. Running
+  * the 34-query sweep first leaves ~6s/round of irreversible JVM drag
+  * (codegen classes, metaspace, JIT state) that survives even a fresh
+  * SparkContext — measured 25s vs 17s for the identical round.
   *
   * NOISE DISCIPLINE: this sandbox shows hypervisor CPU-steal bursts that
   * inflate task durations up to 6× (BASELINE.md). Every number reported here
-  * is a best-of-K — queries best-of-2, the crawl round best-of-3 over the
-  * identical reset snapshot — so a single stolen run can't poison the
+  * is a best-of-K — the crawl round best-of-3 over the identical reset
+  * snapshot, queries best-of-2 — so a single stolen run can't poison the
   * recorded artifact (the round-1 recorded bench was exactly that casualty).
   */
 object Bench {
@@ -60,21 +65,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
-    // JIT/codegen warmup so the first measured query isn't charged for it
-    spark.read.parquet(s"$sfDir/orders.parquet").count()
-
-    val qmap = SparkEntry.queries
-    val results = headline.map { name =>
-      val secs = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try qmap(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> secs.min
-    }
-
-    // --- crawl-round throughput (the north metric) ---
+    // --- phase 1: crawl-round throughput (the north metric), pristine JVM ---
     // the measured round must be COMPUTE-dominated, not job-overhead-
     // dominated: inject the whole synthetic web (distributed seed set,
     // ~1M URLs) and measure one fully loaded round at topN=800k, best-of-3
@@ -98,6 +89,20 @@ object Bench {
     val best = runs.minBy(_.wallMs)
     val crawlSec = best.wallMs / 1000.0
     val urlsPerSec = best.fetchedPages / crawlSec
+    spark.catalog.clearCache()
+
+    // --- phase 2: headline operator queries ---
+    val skipQueries = sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")
+    val qmap = SparkEntry.queries
+    val results = (if (skipQueries) Seq.empty[String] else headline).map { name =>
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try qmap(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
+    }
 
     val total = results.map(_._2).sum + crawlSec
     val qs = (results ++ Seq(

@@ -180,9 +180,11 @@ object CrawlRound {
       if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(dbIn, fetchUpdates, linked, cfg, now, seen)
       else UpdateDb.run(dbIn, fetchUpdates, linked, cfg, now, seen)
     // dedup consumes the merged frontier three times (candidates, keep-best
-    // aggregation, pass-through rest): persist so the merge runs once
+    // aggregation, pass-through rest) and the seen-bloom delta once more:
+    // persist so the merge runs once
+    val persistFrontier = dedupEachRound || seen.isDefined
     val newFrontier =
-      if (dedupEachRound) newFrontier0.persist(StorageLevel.MEMORY_AND_DISK) else newFrontier0
+      if (persistFrontier) newFrontier0.persist(StorageLevel.MEMORY_AND_DISK) else newFrontier0
     val finalFrontier = if (dedupEachRound) Dedup.markDuplicates(newFrontier) else newFrontier
     val obsDb = Observation(s"updatedb_r$round")
     // optional storage layout: bucket by url_hash (min/max pruning turns the
@@ -204,22 +206,17 @@ object CrawlRound {
     val frontierSize = obsDb.get("size").asInstanceOf[Long]
     val unfetched = obsDb.get("unfetched").asInstanceOf[Long]
 
-    // --- URL-seen bloom maintenance: merge the round's update-side hashes
-    //     (fetched URLs + raw discovered targets, straight off the cached
-    //     pages — partition-local, update-sized, NO frontier re-scan) and
-    //     persist. Superset semantics: over-adding filtered targets is
-    //     harmless; approxInserted tracks via the observed frontier size. ---
+    // --- URL-seen bloom maintenance: the delta is exactly the merged
+    //     frontier's bloom-missing hashes — a cache-backed filter over the
+    //     PERSISTED new frontier (zero rows in a steady-state round), then a
+    //     tiny bloom aggregation + blob swap. No link re-canonicalization,
+    //     no committed-parquet re-read. ---
     seen.foreach { sf =>
       timed("seen_bloom") {
-        graft.functions.GraftFunctions.register(spark)
-        val linkHashes = pages.toDF()
-          .select(explode(filter(col("spans"),
-            s => s.getField("kind").isin("link", "media", "redirect"))).as("l"))
-          .select(call_function("url_canon_filter", col("l.media_ref")).as("u"))
-          .filter(col("u").isNotNull)
-          .select(call_function("url_hash64", col("u")).as("url_hash"))
-        val updHashes = linkHashes.unionByName(pages.toDF().select(col("url_hash")))
-        val merged = graft.seen.UrlSeen.merged(spark, sf, updHashes, 0L)
+        val bloomBc = sf.bloom
+        val miss = udf((h: Long) => !bloomBc.value.mightContainLong(h))
+        val newHashes = newFrontier.toDF().filter(miss(col("url_hash"))).select(col("url_hash"))
+        val merged = graft.seen.UrlSeen.merged(spark, sf, newHashes, 0L)
           .copy(approxInserted = math.max(sf.approxInserted, frontierSize))
         store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round)
       }
@@ -227,10 +224,12 @@ object CrawlRound {
 
     // --- optional per-round side tables ---
     if (cfg.updateHostDb) timed("hostdb") {
-      // aggregate from the in-memory merged frontier (persisted above when
-      // dedupEachRound) — no re-read of the just-committed parquet
+      // aggregate from the just-committed frontier: a (host, status, score)
+      // column-pruned parquet scan — cheaper than re-deriving the dedup'd
+      // frontier from cache, and semantics match the committed snapshot
+      val committed = store.load(spark, "frontier").get.as[FrontierEntry]
       store.commit("host_stats",
-        graft.frontier.HostDb.fromFrontier(finalFrontier, now, Some(pages.toDF()),
+        graft.frontier.HostDb.fromFrontier(committed, now, Some(pages.toDF()),
           prev = store.load(spark, "host_stats")).toDF(),
         round, allowRewind = true)
     }
@@ -260,7 +259,7 @@ object CrawlRound {
 
     fetchlist.unpersist()
     pages.unpersist()
-    if (dedupEachRound) newFrontier.unpersist()
+    if (persistFrontier) newFrontier.unpersist()
 
     RoundStats(round, generated, fetchedPages, parsedCount, frontierSize, unfetched,
       (System.nanoTime() - t0) / 1000000, virtualMsMax, stageMs.toMap)

@@ -2,36 +2,42 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.cli.Crawl
-import graft.fetch.SyntheticFetcher
+import graft.cli.CrawlRound
 import graft.fixtures.{SyntheticWeb, WebConfig}
 import graft.frontier.CrawlConfig
 
-/** Ad-hoc driving entry for verification (see .claude/skills/verify):
-  * runs a small crawl through the public facade and prints the plans of a
-  * few headline queries. Edit freely when verifying a change. */
+/** Scratch driver for ad-hoc verification runs (see .claude/skills/verify). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val cpus = 32
+    val shm = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft-scratch").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", shm)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
 
-    val web = SyntheticWeb(WebConfig(nHosts = 8, pagesPerHost = 12))
-    val cfg = CrawlConfig(topN = 300, numFetchPartitions = 2,
-      serverDelayMs = 200, fetchLatencyMs = 5, invertLinks = true)
-    val root = java.nio.file.Files.createTempDirectory("graft-scratch").toString
-    val crawl = Crawl(spark, root, cfg, SyntheticFetcher(web, cfg.fetchLatencyMs))
-    crawl.inject(web.seedUrls.toDS())
-    val stats = crawl.rounds(2)
-    stats.foreach(s => println(s"ROUND ${s.round}: generated=${s.generated} fetched=${s.fetchedPages} " +
-      s"frontier=${s.frontierSize} stages=${s.stageMs}"))
-    crawl.stats.show()
-    crawl.domainStats.show(5)
-    println("explain of q_scan_filter_project (pushdown check):")
-    graft.SparkEntry.queries("q_scan_filter_project")(spark, "/root/testdata/sf0.001").explain("formatted")
+    val web = SyntheticWeb(WebConfig(nHosts = 3000, pagesPerHost = 350, hotFactor = 25))
+    val cfg = CrawlConfig(topN = 800000, maxPerHost = 500,
+      numFetchPartitions = cpus, serverDelayMs = 5000, fetchLatencyMs = 50)
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch-store").toString
+    val store = new graft.store.SnapshotStore(root)
+    val startTime = 1700000000000L
+    CrawlRound.inject(spark, store, web.urls(spark), cfg, startTime)
+    val fetcher = graft.fetch.SyntheticFetcher(web, cfg.fetchLatencyMs)
+    CrawlRound.run(spark, store, fetcher, cfg.copy(topN = 20000), round = 1, startTime)
+    store.resetTo("frontier", 0)
+    for (i <- 1 to 4) {
+      val s = CrawlRound.run(spark, store, fetcher, cfg, round = 1, startTime)
+      store.resetTo("frontier", 0)
+      println(f"RUN$i wall=${s.wallMs / 1000.0}%7.2fs fetched=${s.fetchedPages} " +
+        s.stageMs.map { case (k, v) => s"$k=${v}ms" }.mkString(" "))
+    }
     spark.stop()
   }
 }
