@@ -113,6 +113,14 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Export a round's index docs through external sinks (the reference's
+    * IndexWriter plugins + exchange routing). */
+  def exportIndexTo(roundNo: Int, exchange: graft.index.IndexWriterExchange): Boolean =
+    exportIndex(roundNo) match {
+      case Some(df) => exchange.write(df, roundNo); true
+      case None => false
+    }
+
   /** Index export (the reference's `index` stage, IndexWriters sinks reduced
     * to a searchable table): one row per successfully parsed doc of a round —
     * url, host, title (first text span), full text, score, signature. */

@@ -113,8 +113,11 @@ object CrawlRound {
 
     // --- generate ---
     val (fetchlist0, markedFrontier) = Generator.generate(frontier, cfg, now, round, hostSalt, badHosts)
-    // consumed twice (fetch input + mark-back broadcast); spill-tolerant cache
-    val fetchlist = fetchlist0.persist(StorageLevel.MEMORY_AND_DISK)
+    // two consumers (fetch input + mark-back broadcast) ONLY when the
+    // mark-back runs; on the default path pages is the sole consumer and a
+    // persist would just materialize 4M rows twice
+    val fetchlist =
+      if (cfg.generateUpdateDb) fetchlist0.persist(StorageLevel.MEMORY_AND_DISK) else fetchlist0
 
     // --- fetch (politeness executor, partition-local) ---
     val metricsAcc: CollectionAccumulator[FetchPartitionMetrics] =
@@ -174,8 +177,13 @@ object CrawlRound {
     //     RUNS (markedFrontier is lazy) — one fewer frontier-wide shuffle
     //     per round. When true, the _ngt_ stamp rides in and persists. ---
     val dbIn = if (cfg.generateUpdateDb) markedFrontier else frontier
-    val fetchUpdates = Parse.fetchUpdates(pages)
-    val linked = Parse.linkedUpdates(pages, cfg, round)
+    val fetchUpdates = Parse.fetchUpdates(pages, cfg)
+    // with the bloom split the linked aggregation feeds two branches
+    // (seen/new); persist it so the 16M-row explode+canonicalize+pre-agg
+    // pipeline runs once (AQE does not reliably reuse the exchange across
+    // the branches)
+    val linked0 = Parse.linkedUpdates(pages, cfg, round)
+    val linked = if (seen.isDefined) linked0.persist(StorageLevel.MEMORY_AND_DISK) else linked0
     val newFrontier0 =
       if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(dbIn, fetchUpdates, linked, cfg, now, seen)
       else UpdateDb.run(dbIn, fetchUpdates, linked, cfg, now, seen)
@@ -257,8 +265,9 @@ object CrawlRound {
     val virtualMsMax = if (fetchMetrics.isEmpty) 0L else fetchMetrics.asScala.map(_.virtual_ms).max
     val generated = fetchMetrics.asScala.map(_.input_rows).sum
 
-    fetchlist.unpersist()
+    if (cfg.generateUpdateDb) fetchlist.unpersist()
     pages.unpersist()
+    if (seen.isDefined) linked.unpersist()
     if (persistFrontier) newFrontier.unpersist()
 
     RoundStats(round, generated, fetchedPages, parsedCount, frontierSize, unfetched,

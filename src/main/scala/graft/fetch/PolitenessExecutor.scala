@@ -230,12 +230,15 @@ object PolitenessExecutor {
           case Deferred     => drain(q, CrawlStatus.FETCH_RETRY, "ROBOTS_DEFERRED", nDeferred += _)
           case Open(delayMs, rules) =>
             // per-URL robots path check (no request made, no politeness wait):
-            // skim path-denied items off the queue head first
+            // skim path-denied items off the queue head first. Hosts with no
+            // path rules (the overwhelmingly common case) skip the check —
+            // no pathQueryOf allocation on the hot path.
+            val noPathRules = rules.rules.isEmpty
             var head: (FetchTask, Int) = null
             while (head == null && q.fifo.nonEmpty) {
               val item = q.fifo.removeHead()
               queued -= 1
-              if (rules.isAllowed(Urls.pathQueryOf(item._1.url))) head = item
+              if (noPathRules || rules.isAllowed(Urls.pathQueryOf(item._1.url))) head = item
               else {
                 nDenied += 1
                 pending.append(result(item._1, CrawlStatus.FETCH_GONE, "ROBOTS_DENIED", clock.now))

@@ -128,15 +128,18 @@ object Parse {
     ).as[FrontierUpdate]
   }
 
-  /** Fetch statuses as updatedb input rows. The page's Content-Type rides in
-    * the metadata (parse_meta → crawldb propagation; feeds the mime-adaptive
-    * schedule like the reference's HttpHeaders.CONTENT_TYPE key). */
-  def fetchUpdates(pages: Dataset[FetchedPage]): Dataset[FrontierUpdate] = {
+  /** Fetch statuses as updatedb input rows. When the mime-adaptive schedule
+    * is active, the page's Content-Type rides in the metadata (parse_meta →
+    * crawldb propagation, the reference's HttpHeaders.CONTENT_TYPE key);
+    * other schedules don't read it, so the hot path ships no per-row map
+    * (3.9M allocated+shuffled maps per round otherwise). */
+  def fetchUpdates(pages: Dataset[FetchedPage], cfg: CrawlConfig = CrawlConfig()): Dataset[FrontierUpdate] = {
     val spark = pages.sparkSession
     import spark.implicits._
+    val wantMime = graft.frontier.FetchSchedule.nameFor(cfg) == "mime"
     pages.map { p =>
-      val meta = if (p.content_type == null) Map.empty[String, String]
-                 else Map("content_type" -> p.content_type)
+      val meta = if (wantMime && p.content_type != null) Map("content_type" -> p.content_type)
+                 else Map.empty[String, String]
       FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
         p.fetch_interval, p.score, p.signature, 0L, p.repr_url, meta)
     }

@@ -41,7 +41,11 @@ object ScalingBench {
 
     val web = SyntheticWeb(WebConfig(nHosts = 3000, pagesPerHost = 1400, hotFactor = 25))
     val cfg = CrawlConfig(topN = 4000000, maxPerHost = 2000,
-      numFetchPartitions = PARTITIONS, serverDelayMs = 5000, fetchLatencyMs = 50)
+      numFetchPartitions = PARTITIONS, serverDelayMs = 5000, fetchLatencyMs = 50,
+      // size the URL-seen bloom for the 4.24M-URL web: the default 4.19M
+      // capacity saturates and forces a full rebuild inside every measured
+      // round — operators size their filters for their corpus
+      bloomExpectedItems = 1L << 24)
     val fetcher = graft.fetch.SyntheticFetcher(web, cfg.fetchLatencyMs)
     val startTime = 1700000000000L
 
