@@ -226,7 +226,11 @@ object CrawlRound {
         val newHashes = newFrontier.toDF().filter(miss(col("url_hash"))).select(col("url_hash"))
         val merged = graft.seen.UrlSeen.merged(spark, sf, newHashes, 0L)
           .copy(approxInserted = math.max(sf.approxInserted, frontierSize))
-        store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round)
+        // allowRewind: after an explicit frontier resetTo the replayed rounds
+        // re-commit the blob at lower rounds; the bloom is a monotone
+        // superset, so a rewound pointer is still correct
+        store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round,
+          allowRewind = true)
       }
     }
 

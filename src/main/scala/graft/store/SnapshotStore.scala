@@ -104,8 +104,9 @@ class SnapshotStore(val root: String) extends Serializable {
   /** Commit an opaque binary artifact (e.g. the URL-seen bloom filter) under
     * the same manifest discipline: immutable per-round file + atomic pointer
     * swap. Rounds are monotonic like data commits. */
-  def commitBlob(table: String, bytes: Array[Byte], round: Int): Snapshot = {
-    current(table).foreach(c => require(round >= c.round,
+  def commitBlob(table: String, bytes: Array[Byte], round: Int,
+                 allowRewind: Boolean = false): Snapshot = {
+    current(table).foreach(c => require(round >= c.round || allowRewind,
       s"commitBlob($table, round=$round) would rewind (current ${c.round})"))
     Files.createDirectories(tableDir(table))
     val dataPath = tableDir(table).resolve(s"r$round.bin")

@@ -156,6 +156,18 @@ class StoreAndGenerate2Spec extends AnyFunSuite with SparkSpecBase {
     assert(stamped > 0, "generated rows must keep the _ngt_ stamp with update.crawldb on")
   }
 
+  test("resetTo an earlier round then continuing the crawl replays cleanly (bloom on)") {
+    import spark.implicits._
+    val root = tmp()
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 3, root)
+    store.resetTo("frontier", 1) // rewind two rounds; seen_bloom manifest is at r3
+    val fetcher = graft.fetch.SyntheticFetcher(web, 10)
+    val stats = CrawlRound.crawl(spark, store, fetcher, cfg, 2, 1700000000000L)
+    assert(stats.map(_.round) == Seq(2, 3))
+    assert(store.lastCompletedRound.contains(3))
+    assert(store.load(spark, "frontier").get.count() > 0)
+  }
+
   test("filterAndNormalize commits as a NEW round (source snapshot untouched)") {
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
