@@ -81,7 +81,13 @@ object Bench {
     // warmup round (JIT + seen-bloom build), then reset to the shared snapshot
     CrawlRound.run(spark, store, fetcher, cfg.copy(topN = 20000), round = 1, startTime)
     store.resetTo("frontier", 0)
+    // snapshot the post-warmup seen-bloom blob and restore it before EVERY
+    // measured run: all three replays see identical frontier AND bloom state
+    // (without this, run 1 sees the warmup bloom while runs 2-3 see the
+    // previous measured round's — a slightly different link-split shape)
+    val warmBloom = store.loadBlob("seen_bloom")
     val runs = (1 to 3).map { _ =>
+      warmBloom.foreach(b => store.commitBlob("seen_bloom", b, 1, allowRewind = true))
       val s = CrawlRound.run(spark, store, fetcher, cfg, round = 1, startTime)
       store.resetTo("frontier", 0)
       s

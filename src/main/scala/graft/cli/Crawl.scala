@@ -135,7 +135,9 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
         col("score"), hex(col("signature")).as("signature"), col("round"))
       graft.functions.GraftFunctions.register(spark)
       val indexed = doc.withColumn("host", call_function("url_host", col("url")))
-      store.commit("index", indexed, roundNo)
+      // per-round derived output: re-exporting an older round after a newer
+      // one is a normal operation (allowRewind, like fetched/parsed/host_stats)
+      store.commit("index", indexed, roundNo, allowRewind = true)
       indexed
     }
   }

@@ -231,6 +231,12 @@ object CrawlRound {
         // superset, so a rewound pointer is still correct
         store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round,
           allowRewind = true)
+        // broadcast lifecycle: the blob is now the durable copy and every
+        // consumer of this round's filter has materialized — destroy both
+        // broadcasts so a long crawl holds ZERO live bloom broadcasts between
+        // rounds instead of accumulating one (~1.2 GB at 10^9 URLs) per round
+        if (!(merged.bloom eq sf.bloom)) sf.destroy()
+        merged.destroy()
       }
     }
 

@@ -111,8 +111,12 @@ object Robots {
     }
     flush()
 
-    // pick the group: exact/substring agent match beats '*'
-    val named = groups.filter(_.agents.exists(a => a != "*" && (wanted.contains(a) || a.contains(wanted))))
+    // pick the group: exact product-token match beats '*' (RFC 9309 §2.2.1 /
+    // the reference's crawler-commons matching — a group named
+    // "examplebot-special" must NOT capture agent "examplebot"). The agent's
+    // product token is its name up to the first '/' (version suffix).
+    val wantedToken = wanted.split('/')(0).trim
+    val named = groups.filter(_.agents.exists(a => a != "*" && a.split('/')(0).trim == wantedToken))
     val starGroups = groups.filter(_.agents.contains("*"))
     val chosen = if (named.nonEmpty) named else starGroups
     if (chosen.isEmpty) AllowAll.copy(sitemaps = sitemaps.toSeq)

@@ -44,28 +44,40 @@ object HostDb {
       p.groupBy(col("host"))
         .agg(
           count(when(col("protocol_status").isin("EXCEPTION", "QUEUE_PURGED"), 1)).as("f_exc"),
-          count(when(col("protocol_status") === "ROBOTS_DENIED", 1)).as("f_den"))
+          count(when(col("protocol_status") === "ROBOTS_DENIED", 1)).as("f_den"),
+          count(when(col("protocol_status") === "SUCCESS", 1)).as("f_ok"))
     }
     val withFail = failures match {
       case Some(f) => base.join(f, Seq("host"), "left_outer")
         .withColumn("exceptions", coalesce(col("f_exc"), lit(0L)))
         .withColumn("robots_denied", coalesce(col("f_den"), lit(0L)))
-        .drop("f_exc", "f_den")
+        .withColumn("_ok", coalesce(col("f_ok"), lit(0L)))
+        .drop("f_exc", "f_den", "f_ok")
       case None => base
         .withColumn("exceptions", lit(0L))
         .withColumn("robots_denied", lit(0L))
+        .withColumn("_ok", lit(0L))
     }
+    // Reset-on-success (reference hostdb/ResolverThread.java:78-106 zeroes a
+    // host's failure counters on successful resolution): a round with ≥1
+    // successful fetch restarts the host's tallies at this round's values,
+    // so the generator's skipHostsWithExceptions throttle is a recoverable
+    // brake, not a one-way door. Hosts that never fetch keep accumulating.
     val accumulated = prev match {
       case Some(pr) =>
         val p = pr.select(col("host"),
           col("exceptions").as("p_exc"), col("robots_denied").as("p_den"))
         withFail.join(p, Seq("host"), "left_outer")
-          .withColumn("exceptions", col("exceptions") + coalesce(col("p_exc"), lit(0L)))
-          .withColumn("robots_denied", col("robots_denied") + coalesce(col("p_den"), lit(0L)))
+          .withColumn("exceptions",
+            when(col("_ok") > 0, col("exceptions"))
+              .otherwise(col("exceptions") + coalesce(col("p_exc"), lit(0L))))
+          .withColumn("robots_denied",
+            when(col("_ok") > 0, col("robots_denied"))
+              .otherwise(col("robots_denied") + coalesce(col("p_den"), lit(0L))))
           .drop("p_exc", "p_den")
       case None => withFail
     }
-    accumulated.as[HostStats]
+    accumulated.drop("_ok").as[HostStats]
   }
 
   /** Hosts whose pending (unfetched) mass exceeds `hotThreshold` get spread

@@ -83,10 +83,11 @@ object UpdateDb {
       else if (fetchIsLink) base.metadata
       else base.metadata ++ fetch.metadata
 
-    // the _ngt_ mark persists until crawl.gen.delay expires (it is metadata
-    // in the reference); new rows carry -1
-    var e = base.copy(metadata = mergedMeta,
-      generate_time = if (old != null) old.generate_time else -1L)
+    // _ngt_ clears whenever new data merges (reference CrawlDbReducer.java:320
+    // removes WRITABLE_GENERATE_TIME_KEY on every fetch/link-driven write) —
+    // a fetched-or-linked row is immediately re-generatable when due; the
+    // mark persists ONLY on rows written through unchanged (orphan path above)
+    var e = base.copy(metadata = mergedMeta, generate_time = -1L)
 
     e = fetch.status match {
       case s if fetchIsLink =>

@@ -257,7 +257,10 @@ object UpdateDbColumnar {
         when(overflow, lit(null).cast("binary")).otherwise(newSig).as("signature"),
         when(overflow, lit(0L)).otherwise(newMod).as("modified_time"),
         newRepr.as("repr_url"),
-        coalesce(col("o_gen"), lit(-1L)).as("generate_time"), // _ngt_ persists (typed-path twin)
+        // _ngt_ clears on any fetch/link-driven write, persists only on
+        // pass-through rows (typed-path twin of CrawlDbReducer.java:320)
+        when(hasFetch || hasLink, lit(-1L))
+          .otherwise(coalesce(col("o_gen"), lit(-1L))).as("generate_time"),
         newMeta.as("metadata"))
 
     val withDirect = directNew match {

@@ -42,6 +42,10 @@ object UrlSeen {
                         fpp: Double, approxInserted: Long) {
     def mightContain(h: Long): Boolean = bloom.value.mightContainLong(h)
     def saturated: Boolean = approxInserted > expectedItems
+    /** Release the broadcast's executor + driver storage. The round loop calls
+      * this on every superseded filter so a long crawl holds exactly one live
+      * bloom broadcast (the blob on the SnapshotStore is the durable copy). */
+    def destroy(): Unit = bloom.destroy()
   }
 
   /** Build + broadcast the bloom over a url_hash column. */
@@ -55,14 +59,18 @@ object UrlSeen {
 
   /** Merge `updates` (url_hash column; the round's discovered ∪ fetched
     * URLs — update-sized, NOT frontier-sized) into the existing filter.
-    * Returns a NEW broadcast; equal (capacity, fpp) shapes OR together. */
+    * Returns a NEW broadcast over a NEW filter: the old filter is merged
+    * INTO the round-local `add` (equal capacity/fpp shapes OR together), so
+    * the live broadcast's value is never mutated — any in-flight plan still
+    * holding the old SeenFilter keeps observing exactly the pre-merge bits.
+    * The caller is responsible for `destroy()`ing the superseded filter once
+    * its last consumer has materialized (CrawlRound does, after blob commit). */
   def merged(spark: SparkSession, seen: SeenFilter, updates: DataFrame,
              updateCount: Long): SeenFilter = {
     if (updates.isEmpty) return seen // stat.bloomFilter NPEs on zero rows
     val add = updates.stat.bloomFilter("url_hash", seen.expectedItems, seen.fpp)
-    val combined = seen.bloom.value // driver-side copy is the authoritative one
-    combined.mergeInPlace(add)
-    SeenFilter(spark.sparkContext.broadcast(combined), seen.expectedItems, seen.fpp,
+    add.mergeInPlace(seen.bloom.value) // mutates only the round-local filter
+    SeenFilter(spark.sparkContext.broadcast(add), seen.expectedItems, seen.fpp,
       seen.approxInserted + updateCount)
   }
 

@@ -40,8 +40,11 @@ case class SuffixUrlFilter(suffixes: Seq[String], deny: Boolean = true) extends 
   private val lower = suffixes.map(_.toLowerCase(Locale.ROOT))
   override def accept(url: String): Boolean = {
     if (url == null) return false
-    val q = url.indexOf('?')
-    val path = (if (q < 0) url else url.substring(0, q)).toLowerCase(Locale.ROOT)
+    // match on the PATH only (never scheme/host): a deny-suffix ".co" must
+    // not drop "http://site.co/" just because the host ends with it
+    val pq = Urls.pathQueryOf(url)
+    val q = pq.indexOf('?')
+    val path = (if (q < 0) pq else pq.substring(0, q)).toLowerCase(Locale.ROOT)
     val hit = lower.exists(path.endsWith)
     if (deny) !hit else hit
   }

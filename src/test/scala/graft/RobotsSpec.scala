@@ -52,6 +52,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.pathMatches("/a*b$", "/aXXXbc"))
   }
 
+  test("agent matching is exact product-token, not substring (RFC 9309 §2.2.1)") {
+    val txt =
+      """User-agent: graftbot-special
+        |Disallow: /special/
+        |
+        |User-agent: graft
+        |Disallow: /graft/
+        |
+        |User-agent: *
+        |Disallow: /star/
+        |""".stripMargin
+    // a longer-named group must NOT capture a shorter agent token (and vice
+    // versa): "graftbot" matches neither "graftbot-special" nor "graft"
+    val r = Robots.parse(txt, "graftbot")
+    assert(r.isAllowed("/special/x") && r.isAllowed("/graft/x") && !r.isAllowed("/star/x"),
+      "agent 'graftbot' must fall through to the * group")
+    // exact token still matches, case-insensitively and ignoring /version
+    assert(!Robots.parse(txt, "Graftbot-Special").isAllowed("/special/x"))
+    assert(!Robots.parse(txt, "graftbot-special/2.1").isAllowed("/special/x"))
+    assert(!Robots.parse(txt, "graft").isAllowed("/graft/x"))
+  }
+
   test("multiple user-agent lines share one group; null/empty = allow all") {
     val txt =
       """User-agent: abot

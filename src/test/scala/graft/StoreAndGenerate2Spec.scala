@@ -119,6 +119,47 @@ class StoreAndGenerate2Spec extends AnyFunSuite with SparkSpecBase {
     assert(hosts == Set("good.fix.test"))
   }
 
+  test("hostdb failure counters reset on a successful round: the throttle is recoverable") {
+    import spark.implicits._
+    val now = 1700000000000L
+    def entry(url: String): FrontierEntry = {
+      val host = graft.url.Urls.hostOf(url)
+      FrontierEntry(url, graft.url.Urls.hash64(url), host,
+        graft.url.Urls.registeredDomainOf(host), CrawlStatus.DB_UNFETCHED,
+        now - 1000, 0, 2592000, 1f, null, 0L, null, -1L, Map.empty)
+    }
+    val frontier = spark.createDataset(
+      (1 to 5).map(i => entry(s"http://flaky.rec.test/p$i")))
+    def pages(statuses: (String, Int)*): org.apache.spark.sql.DataFrame =
+      statuses.flatMap { case (s, n) => Seq.fill(n)(("flaky.rec.test", s)) }
+        .toDF("host", "protocol_status")
+
+    // round 1: five exceptions, no success → counter 5 (crosses threshold 3)
+    val r1 = graft.frontier.HostDb.fromFrontier(frontier, now,
+      Some(pages("EXCEPTION" -> 5))).toDF()
+    assert(r1.select("exceptions").head.getLong(0) == 5L)
+    val c = CrawlConfig(topN = 100, maxPerHost = 50, numFetchPartitions = 1,
+      skipHostsWithExceptions = 3)
+    val bad1 = r1.filter(col("exceptions") > c.skipHostsWithExceptions).select("host")
+    val (fl1, _) = graft.generate.Generator.generate(frontier, c, now, 1, Map.empty, Some(bad1))
+    assert(fl1.collect().isEmpty, "host above the exception threshold must be skipped")
+
+    // round 2: still failing with no success → counters accumulate (5 + 2)
+    val r2 = graft.frontier.HostDb.fromFrontier(frontier, now,
+      Some(pages("EXCEPTION" -> 2)), prev = Some(r1)).toDF()
+    assert(r2.select("exceptions").head.getLong(0) == 7L)
+
+    // round 3: one successful fetch → counters RESET to this round's values
+    // (reference hostdb/ResolverThread.java:78-106 zeroes on success)
+    val r3 = graft.frontier.HostDb.fromFrontier(frontier, now,
+      Some(pages("SUCCESS" -> 1, "EXCEPTION" -> 1)), prev = Some(r2)).toDF()
+    assert(r3.select("exceptions").head.getLong(0) == 1L,
+      "a successful round must restart the tally at the round's own failures")
+    val bad3 = r3.filter(col("exceptions") > c.skipHostsWithExceptions).select("host")
+    val (fl3, _) = graft.generate.Generator.generate(frontier, c, now, 3, Map.empty, Some(bad3))
+    assert(fl3.collect().nonEmpty, "recovered host must be generated again")
+  }
+
   test("parse honors maxOutlinkLength and ignoreExternalLinks") {
     import spark.implicits._
     val longUrl = "http://ext.fix.test/" + ("x" * 300)
@@ -142,18 +183,51 @@ class StoreAndGenerate2Spec extends AnyFunSuite with SparkSpecBase {
     assert(internalOnly == Set("http://a.fix.test/other"), s"external must be dropped: $internalOnly")
   }
 
-  test("generate.update.crawldb: stamps persist when on, mark-back join skipped when off") {
+  test("generate.update.crawldb: stamps persist on pass-through rows only, cleared by fetch/link writes") {
+    import spark.implicits._
     // off (reference default): committed frontier carries no _ngt_ stamps
     val (storeOff, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, tmp())
     val gtOff = storeOff.load(spark, "frontier").get
       .select("generate_time").distinct().collect().map(_.getLong(0)).toSet
     assert(gtOff == Set(-1L), s"no stamps expected with the default config: $gtOff")
-    // on: generated rows keep their stamp through updatedb
-    val cfgOn = cfg.copy(generateUpdateDb = true)
-    val (storeOn, _) = CrawlRound.syntheticCrawl(spark, web, cfgOn, rounds = 1, tmp())
-    val stamped = storeOn.load(spark, "frontier").get
-      .filter(col("generate_time") > 0).count()
-    assert(stamped > 0, "generated rows must keep the _ngt_ stamp with update.crawldb on")
+
+    // on: the reference clears the generate mark on every fetch/link-driven
+    // write (CrawlDbReducer.java:320) and keeps it only on rows written
+    // through unchanged. Drive generate + updatedb directly so both classes
+    // exist deterministically: 5 selected (2 fetched, 3 still in-flight) + 5
+    // never selected.
+    val now = 1700000000000L
+    def entry(url: String, score: Float): FrontierEntry = {
+      val host = graft.url.Urls.hostOf(url)
+      FrontierEntry(url, graft.url.Urls.hash64(url), host,
+        graft.url.Urls.registeredDomainOf(host), CrawlStatus.DB_UNFETCHED,
+        now - 1000, 0, 2592000, score, null, 0L, null, -1L, Map.empty)
+    }
+    val frontier = spark.createDataset(
+      (1 to 10).map(i => entry(s"http://ngt.fix.test/p$i", if (i <= 5) 10f + i else 1f)))
+    val c = CrawlConfig(topN = 5, maxPerHost = 50, numFetchPartitions = 1,
+      generateUpdateDb = true)
+    val (fl, marked) = graft.generate.Generator.generate(frontier, c, now, 1)
+    val selected = fl.collect().map(_.url).toSet
+    assert(selected.size == 5)
+    val fetchedUrls = selected.take(2)
+    val fetchRows = spark.createDataset(fetchedUrls.toSeq.map(u =>
+      graft.schema.FrontierUpdate(u, "fetch", CrawlStatus.FETCH_SUCCESS, now + 100,
+        0, 2592000, 1f, Array[Byte](1, 2), 0L, null, Map.empty)))
+    val noLinks = spark.emptyDataset[graft.schema.FrontierUpdate]
+    for (columnar <- Seq(false, true)) {
+      val out = (if (columnar)
+        graft.frontier.UpdateDbColumnar.run(marked, fetchRows, noLinks, c, now + 200)
+      else graft.frontier.UpdateDb.run(marked, fetchRows, noLinks, c, now + 200))
+        .collect().map(e => e.url -> e.generate_time).toMap
+      fetchedUrls.foreach(u => assert(out(u) == -1L,
+        s"fetch-updated row must clear _ngt_ (columnar=$columnar): $u -> ${out(u)}"))
+      (selected -- fetchedUrls).foreach(u => assert(out(u) == now,
+        s"generated-but-unfetched row must keep _ngt_ (columnar=$columnar): $u -> ${out(u)}"))
+      out.view.filterKeys(u => !selected.contains(u)).foreach { case (u, gt) =>
+        assert(gt == -1L, s"unselected row must stay unstamped (columnar=$columnar): $u -> $gt")
+      }
+    }
   }
 
   test("resetTo an earlier round then continuing the crawl replays cleanly (bloom on)") {

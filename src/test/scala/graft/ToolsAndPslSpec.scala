@@ -86,6 +86,13 @@ class UrlFilterVariantsSpec extends AnyFunSuite {
     // zip in query only: path is "/", must pass
     assert(SuffixUrlFilter(Seq(".zip")).accept("http://a.fix.test?f=x.zip"))
   }
+
+  test("suffix filter never matches the host: deny '.co' keeps http://site.co/") {
+    val f = SuffixUrlFilter(Seq(".co"))
+    assert(f.accept("http://site.co/"))
+    assert(f.accept("http://site.co"))
+    assert(!f.accept("http://site.com/file.co"))
+  }
 }
 
 /** Content-type resolution (MimeUtil semantics). */

@@ -74,6 +74,45 @@ class UrlSeenLoopSpec extends AnyFunSuite with SparkSpecBase {
     assert(on == off)
   }
 
+  test("merged() never mutates the live broadcast; superseded filters are destroyable") {
+    import spark.implicits._
+    val sf = UrlSeen.build((1L to 100L).toDF("url_hash"), 2048, 0.01)
+    val oldBloom = sf.bloom
+    val merged = UrlSeen.merged(spark, sf, (5001L to 5100L).toDF("url_hash"), 100L)
+    // the NEW filter sees both generations; the OLD broadcast value is untouched
+    assert((1L to 100L).forall(merged.mightContain))
+    assert((5001L to 5100L).forall(merged.mightContain))
+    val leakedIntoOld = (5001L to 5100L).count(oldBloom.value.mightContainLong)
+    assert(leakedIntoOld < 10,
+      s"merge must not mutate the live broadcast's filter (found $leakedIntoOld/100 new hashes in it)")
+    assert(!(merged.bloom eq oldBloom), "merge must return a fresh broadcast")
+    // lifecycle: destroying the superseded filter invalidates only it
+    sf.destroy()
+    intercept[org.apache.spark.SparkException] { oldBloom.value }
+    assert((1L to 100L).forall(merged.mightContain)) // survivor unaffected
+    merged.destroy()
+  }
+
+  test("round loop holds no live bloom broadcasts between rounds (lifecycle)") {
+    // every round loads the blob into a fresh broadcast and destroys both the
+    // loaded and the merged broadcast after the blob commit — the broadcast
+    // block count in the block manager must not grow round over round
+    val root = tmp()
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, baseCfg, rounds = 1, root)
+    val fetcher = graft.fetch.SyntheticFetcher(web, 10)
+    def broadcastBlocks(): Int = {
+      System.gc() // let ContextCleaner reap unrelated unreferenced broadcasts
+      Thread.sleep(200)
+      org.apache.spark.GraftSparkTestAccess.broadcastBlockCount(spark.sparkContext)
+    }
+    CrawlRound.crawl(spark, store, fetcher, baseCfg, 2, 1700000000000L)
+    val after3 = broadcastBlocks()
+    CrawlRound.crawl(spark, store, fetcher, baseCfg, 4, 1700000000000L)
+    val after7 = broadcastBlocks()
+    assert(after7 <= after3 + 2,
+      s"bloom broadcasts must not accumulate across rounds: $after3 blocks after r3, $after7 after r7")
+  }
+
   test("seen filter round-trips through the blob envelope") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("url_hash")
