@@ -72,6 +72,7 @@ object SparkEntry {
     "q_score_quantiles" -> (Relational.scoreQuantiles _),
     "q_segment_merge" -> (Relational.segmentMerge _),
     "q_mime_resolve" -> (Relational.mimeResolve _),
+    "q_parse_html" -> ((s, d) => graft.parse.HtmlOps.parseHtmlStats(docs(s, d))),
     // --- text analysis (documents) ---
     "q_token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
     "q_bpeish_tokens" -> ((s, d) => TextOps.bpeishTokenCount(docs(s, d))),
@@ -221,6 +222,39 @@ object SparkEntry {
                   WHEN 2 THEN 'image/png'
                   ELSE 'text/html' END AS mime
          FROM documents""",
+    // first-principles mirror of the REAL HTML parser's output on the
+    // deterministic generated pages (HtmlOps.syntheticHtml): token i is a
+    // link when i%5=0 (target "../up/w{i}.html" when i%10=5, else
+    // "w{i}.html", both resolved against base http://b.example/dir/), an
+    // img+alt when i%7=0 otherwise, plain prose else; spans interleave in
+    // document order with the title as the leading text span and text runs
+    // flushed at every link/media boundary (DuckDB indices j are 1-based:
+    // i = j-1)
+    "q_parse_html" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                 array_to_string(toks[1:2], ' ') AS title,
+                 len(list_filter(toks, (x, j) -> (j-1)%5 = 0)) AS n_link,
+                 len(list_filter(toks, (x, j) -> (j-1)%7 = 0 AND (j-1)%5 <> 0)) AS n_media,
+                 1 + len(list_filter(toks, (x, j) ->
+                       (j-1)%5 <> 0 AND (j-1)%7 <> 0
+                       AND ((j-2)%5 = 0 OR (j-2)%7 = 0))) AS n_text,
+                 array_to_string(list_filter(list_transform(toks, (x, j) ->
+                     CASE WHEN (j-1)%5 = 0 THEN
+                       CASE WHEN (j-1)%10 = 5
+                            THEN 'http://b.example/up/w' || CAST(j-1 AS VARCHAR) || '.html'
+                            ELSE 'http://b.example/dir/w' || CAST(j-1 AS VARCHAR) || '.html' END
+                     END), x -> x IS NOT NULL), '|') AS links,
+                 array_to_string(list_filter(list_transform(toks, (x, j) ->
+                     CASE WHEN (j-1)%5 = 0 THEN x END), x -> x IS NOT NULL), '|') AS anchors,
+                 array_to_string(list_filter(list_transform(toks, (x, j) ->
+                     CASE WHEN (j-1)%7 = 0 AND (j-1)%5 <> 0
+                          THEN 'http://b.example/dir/' || x || '.png' END),
+                   x -> x IS NOT NULL), '|') AS medias
+               FROM t)
+         SELECT doc_id, title, n_text + n_link + n_media AS n_spans,
+                n_text, n_link, n_media, links, anchors, medias
+         FROM c""",
     "q_token_count" ->
       """SELECT doc_id, len(str_split(trim(text), ' ')) AS n_tokens, length(text) AS n_chars_actual
          FROM documents""",
@@ -320,6 +354,45 @@ object SparkEntry {
                 ascii(substr(text, 1, 1)) AS first_byte,
                 octet_length(encode(text)) % 640 AS fake_width,
                 (octet_length(encode(text)) * 7) % 480 AS fake_height
-         FROM documents"""
+         FROM documents""",
+    // 64-bit rolling hash h = 31*h + char with JVM signed-64 wraparound,
+    // mirrored in HUGEINT with an explicit floorMod-2^64 wrap per step
+    // (the text is ASCII, so unicode(char) == the JVM char code)
+    "q_text_fingerprint64" ->
+      """SELECT doc_id, CAST(
+           list_reduce(
+             list_prepend(CAST(1125899906842597 AS HUGEINT),
+               list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))),
+             (h, c) -> ((((31*h + c + CAST('9223372036854775808' AS HUGEINT)) %
+                          CAST('18446744073709551616' AS HUGEINT)) +
+                          CAST('18446744073709551616' AS HUGEINT)) %
+                          CAST('18446744073709551616' AS HUGEINT))
+                       - CAST('9223372036854775808' AS HUGEINT))
+           AS BIGINT) AS fp64
+         FROM documents""",
+    // the deterministic fake decode kernel is pure arithmetic over the utf-8
+    // bytes (rolling checksum, format = checksum%3, geometry = floorMod of
+    // checksum / its >>16 arithmetic shift) — all exactly mirrorable; the
+    // shift is (checksum - floorMod(checksum, 65536)) // 65536 (exact)
+    "q_media_decode" ->
+      """WITH s AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                  CAST(list_reduce(
+                    list_prepend(CAST(0 AS HUGEINT),
+                      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))),
+                    (h, c) -> ((((31*h + c + CAST('9223372036854775808' AS HUGEINT)) %
+                                 CAST('18446744073709551616' AS HUGEINT)) +
+                                 CAST('18446744073709551616' AS HUGEINT)) %
+                                 CAST('18446744073709551616' AS HUGEINT))
+                              - CAST('9223372036854775808' AS HUGEINT))
+                  AS BIGINT) AS checksum
+           FROM documents)
+         SELECT doc_id, n_bytes,
+                CASE checksum % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+                CAST(64 + ((checksum % 576) + 576) % 576 AS INTEGER) AS width,
+                CAST(64 + ((((checksum - (((checksum % 65536) + 65536) % 65536)) // 65536) % 416) + 416) % 416 AS INTEGER) AS height,
+                checksum
+         FROM s"""
   )
 }

@@ -113,6 +113,17 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** WARC-shaped export of a fetched round (the reference's WarcWriter
+    * output re-expressed as a parquet record table — request/response/
+    * metadata/warcinfo rows with the WARC named fields; revisit records for
+    * not-modified fetches). Committed as the per-round `warc` table. */
+  def exportWarc(roundNo: Int): Option[DataFrame] =
+    fetched(roundNo).map { f =>
+      val records = graft.index.WarcExport.records(f, parsed(roundNo), roundNo)
+      store.commit("warc", records, roundNo, allowRewind = true)
+      records
+    }
+
   /** Export a round's index docs through external sinks (the reference's
     * IndexWriter plugins + exchange routing). */
   def exportIndexTo(roundNo: Int, exchange: graft.index.IndexWriterExchange): Boolean =

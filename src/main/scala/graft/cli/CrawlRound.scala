@@ -110,9 +110,15 @@ object CrawlRound {
     val badHosts: Option[org.apache.spark.sql.DataFrame] =
       if (cfg.skipHostsWithExceptions <= 0) None
       else prevHostStats.map(_.filter(col("exceptions") > cfg.skipHostsWithExceptions).select("host"))
+    // variable fetch delay: evaluate the configured expression over hostdb
+    // rows (null = default delay, filtered before the broadcast)
+    val hostDelays: Option[org.apache.spark.sql.DataFrame] =
+      cfg.fetchDelayExpr.flatMap(e => prevHostStats.map(
+        _.select(col("host"), expr(e).as("delay_ms")).filter(col("delay_ms").isNotNull)))
 
     // --- generate ---
-    val (fetchlist0, markedFrontier) = Generator.generate(frontier, cfg, now, round, hostSalt, badHosts)
+    val (fetchlist0, markedFrontier) =
+      Generator.generate(frontier, cfg, now, round, hostSalt, badHosts, hostDelays)
     // two consumers (fetch input + mark-back broadcast) ONLY when the
     // mark-back runs; on the default path pages is the sole consumer and a
     // persist would just materialize 4M rows twice
@@ -221,9 +227,9 @@ object CrawlRound {
     //     no committed-parquet re-read. ---
     seen.foreach { sf =>
       timed("seen_bloom") {
-        val bloomBc = sf.bloom
-        val miss = udf((h: Long) => !bloomBc.value.mightContainLong(h))
-        val newHashes = newFrontier.toDF().filter(miss(col("url_hash"))).select(col("url_hash"))
+        val newHashes = newFrontier.toDF()
+          .filter(!graft.seen.UrlSeen.mightContainCol(spark, sf, col("url_hash")))
+          .select(col("url_hash"))
         val merged = graft.seen.UrlSeen.merged(spark, sf, newHashes, 0L)
           .copy(approxInserted = math.max(sf.approxInserted, frontierSize))
         // allowRewind: after an explicit frontier resetTo the replayed rounds

@@ -11,9 +11,13 @@ import graft.schema.{Doc, Span}
 case class ProtocolResponse(
     code: String,            // SUCCESS | NOTFOUND | MOVED | TEMP_MOVED | RETRY
     redirectTo: String,      // for MOVED/TEMP_MOVED
-    doc: Doc,                // for SUCCESS
+    doc: Doc,                // for SUCCESS with pre-parsed (synthetic) content
     contentType: String,
-    latencyMs: Long
+    latencyMs: Long,
+    content: Array[Byte] = null // raw protocol bytes; when present the fetch
+                                // executor parses them through the
+                                // mime-dispatched DocParser registry instead
+                                // of taking doc.spans (real-data path)
 )
 
 trait Fetcher extends Serializable {
@@ -32,6 +36,22 @@ trait Fetcher extends Serializable {
     case RobotsPolicy.CrawlDelay(s)  => Some(Robots.RobotRules(Seq.empty, Some(s.toDouble)))
     case RobotsPolicy.Unavailable5xx => None
   }
+}
+
+/** Serves the synthetic web as RAW HTML BYTES instead of pre-parsed spans:
+  * the fetch executor must recover the span sequence through the real
+  * mime-dispatched HTML parser (differential fixture for the content path). */
+case class HtmlSyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher {
+  private val inner = SyntheticFetcher(web, latencyMs)
+  override def fetch(url: String): ProtocolResponse = {
+    val r = inner.fetch(url)
+    if (r.code == "SUCCESS")
+      r.copy(doc = null, contentType = "text/html; charset=utf-8",
+        content = web.renderHtml(url).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else r
+  }
+  override def robots(host: String): RobotsPolicy = inner.robots(host)
+  override def robotsRules(host: String): Option[Robots.RobotRules] = inner.robotsRules(host)
 }
 
 case class SyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher {

@@ -94,6 +94,10 @@ object PolitenessExecutor {
     var exceptions = 0
     var gate: Gate = null
     var enqueuedInHeap = false
+    // generator-stamped _variableFetchDelay_: the FIRST queued item carrying
+    // one presets the queue delay (reference FetchItemQueue.addFetchItem,
+    // fetcher/FetchItemQueue.java:102-113); robots Crawl-delay still wins
+    var varDelayMs: Long = -1L
     def nextTime: Long = { // min over slots (k is tiny: 1..threadsPerQueue)
       var m = slots(0); var i = 1
       while (i < slots.length) { if (slots(i) < m) m = slots(i); i += 1 }
@@ -146,7 +150,8 @@ object PolitenessExecutor {
                 if (ms > cfg.maxCrawlDelayMs) DelayTooLong
                 else Open(math.max(ms, cfg.minCrawlDelayMs), rules) // crawl-delay forces 1 slot
               case None =>
-                val delay = math.max(cfg.serverDelayMs, cfg.minCrawlDelayMs)
+                val base = if (q.varDelayMs >= 0) q.varDelayMs else cfg.serverDelayMs
+                val delay = math.max(base, cfg.minCrawlDelayMs)
                 if (cfg.threadsPerQueue > 1) {
                   val t0 = q.slots(0)
                   q.slots = Array.fill(cfg.threadsPerQueue)(t0)
@@ -159,6 +164,8 @@ object PolitenessExecutor {
     }
 
     def enqueue(q: HostQueue, item: (FetchTask, Int)): Unit = {
+      if (q.varDelayMs < 0 && item._1.fetch_delay_ms >= 0)
+        q.varDelayMs = item._1.fetch_delay_ms // first carrier wins (reference)
       q.fifo.append(item)
       queued += 1
       if (!q.enqueuedInHeap) {
@@ -255,7 +262,13 @@ object PolitenessExecutor {
               resp.code match {
                 case "SUCCESS" =>
                   nFetched += 1
-                  val spans = resp.doc.spans
+                  // mime-dispatched parse for raw protocol bytes (real-data
+                  // path: HTML/plain/binary via the DocParser registry); the
+                  // synthetic protocol serves pre-parsed spans directly
+                  val spans =
+                    if (resp.content != null)
+                      graft.parse.DocParsers.parseSpans(resp.contentType, t.url, resp.content, cfg)
+                    else resp.doc.spans
                   pending.append(result(t, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
                     resp.contentType, signer.signSpans(spans), null, spans))
                 case "NOTFOUND" =>

@@ -192,6 +192,33 @@ case class SyntheticWeb(cfg: WebConfig) extends Serializable {
     Doc(url, spans.toSeq)
   }
 
+  /** The page as REAL HTML bytes (the raw-content protocol path): spans
+    * rendered through the reference's tag vocabulary — text as prose, links
+    * as anchors, media as img+alt, redirects as meta refresh. Parsing this
+    * back through `graft.parse.Html` recovers the span sequence (adjacent
+    * text spans merge — HTML has no boundary marker between text runs). */
+  def renderHtml(url: String): String = {
+    val doc = render(url)
+    val sb = new StringBuilder
+    // title deliberately empty: the parser folds title text into the leading
+    // text span, which would shift the round-trip comparison
+    sb.append("<html><head><title></title>")
+    doc.spans.filter(_.kind == "redirect").foreach { s =>
+      sb.append("<meta http-equiv=\"refresh\" content=\"0; url=").append(s.media_ref).append("\">")
+    }
+    sb.append("</head><body>")
+    doc.spans.foreach {
+      case Span("text", t, _, _) => sb.append("<p>").append(t).append("</p>")
+      case Span("link", t, ref, _) =>
+        sb.append("<a href=\"").append(ref).append("\">").append(if (t == null) "" else t).append("</a>")
+      case Span("media", t, ref, _) =>
+        sb.append("<img src=\"").append(ref).append("\" alt=\"").append(if (t == null) "" else t).append("\">")
+      case _ => // redirect handled in head
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+
   def allUrls: Seq[String] =
     for (h <- 0 until cfg.nHosts; p <- 0 until pageCount(h)) yield pageUrl(h, p)
 

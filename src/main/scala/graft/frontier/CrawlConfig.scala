@@ -35,6 +35,11 @@ case class CrawlConfig(
                                                  // sequential round loop skips the mark-back frontier join
                                                  // entirely (one fewer frontier-wide shuffle per round)
     numFetchPartitions: Int = 8,                 // ≙ fetch task count
+    generateCountMode: String = "host",          // generate.count.mode: "host" | "domain".
+                                                 // "domain" = the Generator2 shape: partition by
+                                                 // hash(domain), secondary sort (domain asc, score desc),
+                                                 // per-domain reducer state — maxPerDomain becomes EXACT
+                                                 // (a multi-host domain never splits across partitions)
     minScore: Float = Float.NegativeInfinity,    // generate.min.score
     markBackBroadcastMaxUrls: Long = 200000,     // generate mark-back: broadcast the selected set up to
                                                  // this many URLs; beyond, shuffle-join (AQE decides)
@@ -44,6 +49,11 @@ case class CrawlConfig(
     invertLinks: Boolean = false,                // per-round linkdb inversion (optional, like the reference)
     generateExprFilter: Option[String] = None,   // Spark SQL predicate over frontier columns
                                                  // (replaces the reference's JEXL expressions)
+    fetchDelayExpr: Option[String] = None,       // generate.fetch.delay.expr equivalent: a Spark SQL
+                                                 // expression over host_stats columns → per-host fetch
+                                                 // delay ms (null = default). Stamped on fetch tasks as
+                                                 // the reference's _variableFetchDelay_; the first queued
+                                                 // item presets the host queue's delay (robots wins)
     signer: String = "textprofile",              // content signature: "textprofile" | "md5"
     fetchTimeLimitMs: Long = Long.MaxValue,      // fetcher.timelimit: drain queues past this (virtual) time
     realClock: Boolean = false,                  // wall-clock politeness sleeps (real fetchers); tests/benches simulate
@@ -69,6 +79,10 @@ case class CrawlConfig(
     extraUrlFilters: Seq[graft.url.UrlFilter] = Nil, // pluggable filter chain (prefix/suffix/domain/regex
                                                  // variants) applied AFTER the static default chain on
                                                  // seeds and discovered outlinks
+    htmlFormUseAction: Boolean = true,           // parser.html.form.use_action (form action = outlink)
+    htmlOutlinkIgnoreTags: Seq[String] = Nil,    // parser.html.outlinks.ignore_tags
+    parseMetaToCrawlDb: Seq[String] = Nil,       // db.parsemeta.to.crawldb: parse_meta keys carried into
+                                                 // the frontier row's metadata through updatedb
     // seen
     useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,

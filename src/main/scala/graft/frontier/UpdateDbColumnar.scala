@@ -47,12 +47,13 @@ object UpdateDbColumnar {
     val (linked, directNew): (Dataset[FrontierUpdate], Option[org.apache.spark.sql.DataFrame]) =
       seen match {
         case Some(sf) if cfg.additionsAllowed =>
-          val bloomBc = sf.bloom
-          val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+          // codegen'd membership probe (BloomMightContainLong) — the whole
+          // 16M-row/round link split stays inside whole-stage codegen
           val withHash = linked0.toDF()
             .withColumn("_h", call_function("url_hash64", col("url")))
-          val seenSide = withHash.filter(mightContain(col("_h")))
-          val newCand = withHash.filter(!mightContain(col("_h")))
+          val mightContain = graft.seen.UrlSeen.mightContainCol(spark, sf, col("_h"))
+          val seenSide = withHash.filter(mightContain)
+          val newCand = withHash.filter(!mightContain)
           val (newRows, backToJoin) =
             if (cfg.redirectMax > 0) {
               val fUrls = fetched.toDF().select(col("url"))

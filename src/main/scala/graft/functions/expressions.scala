@@ -114,6 +114,29 @@ case class TextFingerprint64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_fingerprint64"
 }
 
+/** Codegen'd bloom-membership probe over the broadcast URL-seen filter —
+  * closes the last per-row UDF boundary on the update-sized hot paths
+  * (UpdateDbColumnar link split, CrawlRound bloom delta, UrlSeen
+  * filterUnseen). The broadcast handle is attached to the generated class
+  * as a reference object; each row costs one virtual call into the sketch,
+  * inside whole-stage codegen. */
+case class BloomMightContainLong(
+    child: Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]
+) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any = bloomBc.value.mightContainLong(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("seenBloomBc", bloomBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"((org.apache.spark.util.sketch.BloomFilter)$bcRef.value()).mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "bloom_might_contain"
+}
+
 /** Content-type resolution: normalized header | by-URL-extension | default
   * (reference MimeUtil.autoResolveContentType). Binary, codegen'd. */
 case class MimeResolve(left: Expression, right: Expression)

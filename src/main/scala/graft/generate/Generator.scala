@@ -88,7 +88,8 @@ object Generator {
       now: Long,
       round: Int,
       hostSalt: Map[String, Int] = Map.empty,
-      badHosts: Option[DataFrame] = None
+      badHosts: Option[DataFrame] = None,
+      hostDelays: Option[DataFrame] = None
   ): (Dataset[FetchTask], Dataset[FrontierEntry]) = {
     val spark = frontier.sparkSession
     import spark.implicits._
@@ -99,10 +100,21 @@ object Generator {
     val maxPerHost = cfg.maxPerHost
     val maxPerDomain = cfg.maxPerDomain
     val nSegments = math.max(1, cfg.maxNumSegments)
+    // generate.count.mode=domain: the Generator2 shape (reference
+    // crawl/Generator2.java:283-317,1217-1221) — partition by hash(domain),
+    // secondary sort (domain asc, score desc) so each domain arrives as one
+    // contiguous best-first run, per-domain reducer state cleared at every
+    // domain boundary (O(one domain) memory, and maxPerDomain is EXACT
+    // because a domain never splits across partitions)
+    val byDomain = cfg.generateCountMode == "domain"
+    val keyCol = if (byDomain) col("domain") else col("host")
+    val sortCols = if (byDomain) Seq(col("domain"), desc("score")) else Seq(desc("score"))
 
     val selected: Dataset[FetchTask] = eligible(frontier, cfg, now, badHosts)
-      .repartition(p, partitionKey(col("url"), col("host"), hostSalt))
-      .sortWithinPartitions(desc("score"))
+      // domain mode partitions purely by domain hash (Generator2 has no
+      // salting — cap exactness requires the whole domain in one partition)
+      .repartition(p, partitionKey(col("url"), keyCol, if (byDomain) Map.empty else hostSalt))
+      .sortWithinPartitions(sortCols: _*)
       .mapPartitions { it =>
         // order-dependent running caps, mirroring the reference reducer's
         // per-host counting with segment overflow (Generator.java:516-560):
@@ -110,7 +122,14 @@ object Generator {
         val hostCount = Array.fill(nSegments)(mutable.HashMap.empty[String, Int])
         val domainCount = Array.fill(nSegments)(mutable.HashMap.empty[String, Int])
         val emitted = new Array[Long](nSegments)
+        var lastDomain: String = null
         it.flatMap { e =>
+          if (byDomain && e.domain != lastDomain) {
+            // contiguous domains: per-domain state resets at the boundary
+            var s = 0
+            while (s < nSegments) { hostCount(s).clear(); domainCount(s).clear(); s += 1 }
+            lastDomain = e.domain
+          }
           var seg = -1
           var s = 0
           while (seg < 0 && s < nSegments) {
@@ -127,6 +146,24 @@ object Generator {
             Iterator(FetchTask(e.url, e.url_hash, e.host, e.domain, e.status,
               e.fetch_time, e.retries, e.fetch_interval, e.score, seg))
           }
+        }
+      }
+      // variable fetch delay (_variableFetchDelay_, reference
+      // crawl/Generator.java:429-483): stamp the per-host delay computed
+      // from HostDb onto selected tasks. The delay table is pre-filtered to
+      // hosts with a NON-default delay (typically few), so the broadcast
+      // join is small and preserves the partitioning/narrow plan.
+      .transform { ds =>
+        hostDelays match {
+          case Some(hd) =>
+            val delays = broadcast(hd.select(col("host"),
+              col("delay_ms").cast("long").as("_vfd")).filter(col("_vfd").isNotNull))
+            ds.toDF().drop("fetch_delay_ms")
+              .join(delays, Seq("host"), "left_outer")
+              .withColumn("fetch_delay_ms", coalesce(col("_vfd"), lit(-1L)))
+              .drop("_vfd")
+              .as[FetchTask]
+          case None => ds
         }
       }
       // politeness interleave: segments contiguous, same-host URLs spread out

@@ -1,0 +1,158 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC-shaped export of a fetched round (the reference's signature output,
+  * reference/src/java/org/commoncrawl/util/WarcWriter.java:56-118,204-300
+  * and WarcRecordWriter's per-page record triple): one row per WARC record,
+  * parquet-first — the columns are exactly the WARC named fields, so a
+  * downstream container writer only serializes rows; nothing re-derives.
+  *
+  * Per exported page:
+  *  - a `response` record (payload = reconstructed HTTP response: status
+  *    line + headers + the page body),
+  *  - a `request` record (payload = the reconstructed HTTP request),
+  *    WARC-Concurrent-To → the response record,
+  *  - a `metadata` record (application/warc-fields with fetch details),
+  *    WARC-Concurrent-To → the response record,
+  * plus one `warcinfo` record per round; not-modified fetches become
+  * `revisit` records with the identical-payload-digest profile
+  * (WarcWriter.PROFILE_REVISIT_IDENTICAL_DIGEST).
+  *
+  * Record IDs are deterministic (urn:uuid over md5(type|url|round)) so a
+  * re-export of the same round is byte-identical — a deliberate divergence
+  * from the reference's random UUIDs that keeps the sink replay-safe.
+  */
+object WarcExport {
+
+  val Software = "graft-crawler/1.0"
+  val RevisitProfile = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+  /** Deterministic urn:uuid from arbitrary string columns. */
+  private def recordId(parts: Column*): Column = {
+    val h = md5(concat_ws("|", parts: _*))
+    concat(lit("<urn:uuid:"), substring(h, 1, 8), lit("-"), substring(h, 9, 4),
+      lit("-"), substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+      substring(h, 21, 12), lit(">"))
+  }
+
+  private def httpStatus: Column =
+    when(col("protocol_status") === "SUCCESS", 200)
+      .when(col("protocol_status") === "NOTFOUND", 404)
+      .when(col("protocol_status") === "MOVED", 301)
+      .when(col("protocol_status") === "TEMP_MOVED", 302)
+      .when(col("protocol_status") === "NOTMODIFIED", 304)
+
+  private def statusLine: Column =
+    concat(lit("HTTP/1.1 "), httpStatus.cast("string"),
+      when(httpStatus === 200, lit(" OK")).when(httpStatus === 404, lit(" Not Found"))
+        .when(httpStatus === 301, lit(" Moved Permanently"))
+        .when(httpStatus === 302, lit(" Found")).when(httpStatus === 304, lit(" Not Modified"))
+        .otherwise(lit("")))
+
+  /** Map one round's fetched table (+ optional parsed bodies) to WARC
+    * records. `fetched` needs (url, host, protocol_status, fetch_time, mime,
+    * signature, repr_url, round); `parsed` supplies bodies via (doc_id,
+    * spans). Pure column expressions — the export is one narrow projection
+    * per record type plus a union, no shuffle at any scale. */
+  def records(fetched: DataFrame, parsed: Option[DataFrame], round: Int): DataFrame = {
+    val spark = fetched.sparkSession
+
+    val infoId = recordId(lit("warcinfo"), lit(round.toString))
+    val exported0 = fetched
+      .filter(col("protocol_status").isin("SUCCESS", "NOTFOUND", "MOVED", "TEMP_MOVED", "NOTMODIFIED"))
+    val exported = parsed match {
+      case Some(p) =>
+        val bodies = p.select(col("doc_id").as("url"),
+          concat_ws(" ", expr("transform(spans, s -> coalesce(s.text, s.media_ref))")).as("_body"))
+        exported0.join(bodies, Seq("url"), "left_outer")
+      case None => exported0.withColumn("_body", lit(null).cast("string"))
+    }
+
+    val respId = recordId(lit("response"), col("url"), lit(round.toString))
+    val digest = when(col("signature").isNotNull, concat(lit("md5:"), hex(col("signature"))))
+    val isRevisit = col("protocol_status") === "NOTMODIFIED"
+
+    def base(warcType: Column, rid: Column, ctype: Column, payload: Column,
+             concurrentTo: Column): DataFrame =
+      exported.select(
+        warcType.as("warc_type"),
+        rid.as("record_id"),
+        infoId.as("warcinfo_id"),
+        concurrentTo.as("concurrent_to"),
+        col("url").as("target_uri"),
+        col("fetch_time").as("date"),
+        ctype.as("content_type"),
+        col("mime").as("identified_payload_type"),
+        digest.as("payload_digest"),
+        when(isRevisit, lit(RevisitProfile)).otherwise(lit(null)).cast("string").as("warc_profile"),
+        httpStatus.cast("int").as("http_status"),
+        encode(payload, "UTF-8").as("payload"),
+        lit(round).as("round"))
+
+    // response (revisit for not-modified: headers only, no body — the
+    // payload digest points at the prior capture)
+    val headers = concat(statusLine, lit("\r\nContent-Type: "),
+      coalesce(col("mime"), lit("application/octet-stream")),
+      when(col("repr_url").isNotNull, concat(lit("\r\nLocation: "), col("repr_url")))
+        .otherwise(lit("")),
+      lit("\r\n\r\n"))
+    val responses = base(
+      when(isRevisit, lit("revisit")).otherwise(lit("response")),
+      respId,
+      lit("application/http; msgtype=response"),
+      when(isRevisit, headers).otherwise(concat(headers, coalesce(col("_body"), lit("")))),
+      lit(null).cast("string"))
+
+    // request (reconstructed, like the reference's writeWarcRequestRecord)
+    val pathQ = regexp_replace(col("url"), "^https?://[^/]+", "")
+    val requests = base(
+      lit("request"),
+      recordId(lit("request"), col("url"), lit(round.toString)),
+      lit("application/http; msgtype=request"),
+      concat(lit("GET "), when(pathQ === "", lit("/")).otherwise(pathQ),
+        lit(" HTTP/1.1\r\nHost: "), col("host"),
+        lit("\r\nUser-Agent: " + Software + "\r\nAccept: */*\r\n\r\n")),
+      respId)
+
+    // metadata (application/warc-fields fetch details)
+    val metas = base(
+      lit("metadata"),
+      recordId(lit("metadata"), col("url"), lit(round.toString)),
+      lit("application/warc-fields"),
+      concat(lit("fetchTimeMs: "), col("fetch_time").cast("string"),
+        lit("\r\nhost: "), col("host"), lit("\r\nhttp-status: "),
+        httpStatus.cast("string"), lit("\r\n")),
+      respId)
+
+    // one warcinfo per round
+    val info = spark.range(1).select(
+      lit("warcinfo").as("warc_type"),
+      infoId.as("record_id"),
+      lit(null).cast("string").as("warcinfo_id"),
+      lit(null).cast("string").as("concurrent_to"),
+      lit(null).cast("string").as("target_uri"),
+      lit(0L).as("date"),
+      lit("application/warc-fields").as("content_type"),
+      lit(null).cast("string").as("identified_payload_type"),
+      lit(null).cast("string").as("payload_digest"),
+      lit(null).cast("string").as("warc_profile"),
+      lit(null).cast("int").as("http_status"),
+      encode(lit("software: " + Software +
+        "\r\nformat: WARC File Format 1.1\r\nisPartOf: round-" + round + "\r\n"),
+        "UTF-8").as("payload"),
+      lit(round).as("round"))
+
+    info.unionByName(responses).unionByName(requests).unionByName(metas)
+  }
+}
+
+/** WARC-record sink behind the IndexWriter plugin point: exports the round's
+  * docs joined back to their WARC shape. Expects the record table from
+  * [[WarcExport.records]] (use via Crawl.exportWarc). */
+case class WarcIndexWriter(root: String) extends IndexWriter {
+  override def name: String = "warc"
+  override def write(records: DataFrame, round: Int): Unit =
+    records.write.mode("overwrite").parquet(s"$root/r$round")
+}

@@ -128,12 +128,47 @@ object SimilarityOps {
     (emb.withColumn("cell", nearestCentroid(col("embedding"), centroids)), centroids)
   }
 
-  /** IVF ANN top-k: probe the nProbe nearest cells per query, exact re-rank
-    * inside them — query cost ∝ corpus/nCentroids × nProbe, not corpus. */
-  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    val (assigned, centroids) = ivfIndex(emb, nCentroids, seed = seed)
-    val cellScores = centroids.zipWithIndex.map { case (c, i) =>
+  /** A built IVF index: cell-assigned vectors (a table — build once, probe
+    * many) plus the k×dim centroid matrix (driver-tiny). Persist with
+    * [[saveIvfIndex]] / [[loadIvfIndex]] so repeated queries never re-run
+    * k-means; at corpus scale `assigned` is THE index table. */
+  final case class IvfIndex(assigned: DataFrame, centroids: Seq[Array[Double]])
+
+  /** Build the IVF index as persistable tables (k-means runs HERE, once). */
+  def buildIvfIndex(emb: DataFrame, nCentroids: Int = 16, iterations: Int = 3,
+                    seed: Long = 42L): IvfIndex = {
+    val (assigned, centroids) = ivfIndex(emb, nCentroids, iterations, seed)
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Persist the index: assignments + centroid matrix as parquet tables. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .flatMap { case (c, cid) => c.zipWithIndex.map { case (v, pos) => (cid, pos, v) } }
+      .toDF("cid", "pos", "v")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val rows = spark.read.parquet(s"$path/centroids").collect() // k×dim — driver-tiny
+    val centroids = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      arr
+    }
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Probe phase only — NO k-means: pick each query's nProbe nearest cells
+    * from the centroid matrix, exact re-rank inside those cells. Query cost
+    * ∝ corpus/nCentroids × nProbe, not corpus. */
+  def ivfProbe(index: IvfIndex, queryIds: Seq[Long], k: Int, nProbe: Int = 4): DataFrame = {
+    val assigned = index.assigned
+    val cellScores = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(cosineToLit(col("qe"), c).as("cos"), lit(i).as("cid"))
     }
     val q = broadcast(
@@ -149,6 +184,13 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** IVF ANN top-k, one-shot convenience: build + probe. Repeated queries
+    * should build the index once ([[buildIvfIndex]]/[[saveIvfIndex]]) and
+    * call [[ivfProbe]] instead. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfProbe(buildIvfIndex(emb, nCentroids, seed = seed), queryIds, k, nProbe)
 
   /** ANN top-k: LSH-bucketed candidates re-ranked exactly. Queries see only
     * their own bucket (plus its hamming-1 neighbors for recall). */

@@ -1,0 +1,65 @@
+package graft.parse
+
+import java.nio.charset.StandardCharsets
+
+import graft.frontier.CrawlConfig
+import graft.schema.Span
+
+/** Mime-dispatched parse (the reference's ParserFactory/ParseUtil surface,
+  * reference/src/java/org/apache/nutch/parse/ParserFactory.java:96-160,
+  * ParseUtil.java:79-118, re-expressed as a plain registry keyed by the
+  * RESOLVED mime — `graft.url.Mime.resolve` — instead of plugin.xml).
+  *
+  * Each parser turns raw fetched bytes into the engine's interleaved span
+  * sequence; the rest of the pipeline (signatures, outlink post-processing,
+  * OPIC distribution, updatedb) is parser-agnostic.
+  */
+trait DocParser extends Serializable {
+  def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span]
+}
+
+/** text/html + application/xhtml+xml → the real DOM-walking parser. */
+object HtmlDocParser extends DocParser {
+  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
+    Html.parse(url, new String(content, StandardCharsets.UTF_8),
+      cfg.htmlFormUseAction, cfg.htmlOutlinkIgnoreTags.toSet).spans
+}
+
+/** Any text mime → one whitespace-collapsed text span (parse-text
+  * semantics, reference/src/plugin/parse-text). */
+object PlainTextDocParser extends DocParser {
+  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
+    val t = new String(content, StandardCharsets.UTF_8).replaceAll("\\s+", " ").trim
+    if (t.isEmpty) Seq.empty else Seq(Span("text", t, null, 0))
+  }
+}
+
+/** Unparsable binary → one opaque media span referencing the URL itself
+  * (the content rides in the segment; the span records the reference). */
+object BinaryDocParser extends DocParser {
+  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
+    Seq(Span("media", null, url, 0))
+}
+
+object DocParsers {
+
+  /** Registry: resolved mime → parser. Dispatch like the reference's
+    * mime-type plugin mapping: html + xhtml share the HTML parser; any
+    * other "text/…" mime falls back to plain text; everything else is
+    * opaque binary. */
+  def forMime(mime: String): DocParser = mime match {
+    case null => HtmlDocParser
+    case "text/html" | "application/xhtml+xml" => HtmlDocParser
+    case m if m.startsWith("text/") => PlainTextDocParser
+    case "application/xml" | "application/json" | "application/javascript" => PlainTextDocParser
+    case _ => BinaryDocParser
+  }
+
+  /** Fetch-side dispatch: resolve the mime (header → extension → default)
+    * then parse. Mirrors ParseUtil.parse's "pick parser by content type". */
+  def parseSpans(contentType: String, url: String, content: Array[Byte],
+                 cfg: CrawlConfig): Seq[Span] = {
+    val mime = graft.url.Mime.resolve(contentType, url)
+    forMime(mime).parse(url, content, cfg)
+  }
+}

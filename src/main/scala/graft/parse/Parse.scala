@@ -128,18 +128,38 @@ object Parse {
     ).as[FrontierUpdate]
   }
 
-  /** Fetch statuses as updatedb input rows. When the mime-adaptive schedule
-    * is active, the page's Content-Type rides in the metadata (parse_meta →
-    * crawldb propagation, the reference's HttpHeaders.CONTENT_TYPE key);
-    * other schedules don't read it, so the hot path ships no per-row map
-    * (3.9M allocated+shuffled maps per round otherwise). */
+  /** Fetch statuses as updatedb input rows, with configured-key parse_meta →
+    * crawldb propagation (db.parsemeta.to.crawldb, reference
+    * parse/ParseOutputFormat.java:244-258 stamping + crawl/CrawlDbReducer
+    * .java:219-223 consuming): only the keys listed in
+    * `cfg.parseMetaToCrawlDb` ride into the frontier metadata, where the
+    * updatedb merge (old ∪ fetch, fetch wins) carries them forward on both
+    * the typed and columnar paths. Known parse_meta keys: content_type
+    * (raw header), mime (resolved), n_spans, title (first text span). The
+    * mime-adaptive schedule forces content_type regardless. Unconfigured
+    * (the default), the hot path ships NO per-row map — 3.9M
+    * allocated+shuffled maps per round otherwise. */
   def fetchUpdates(pages: Dataset[FetchedPage], cfg: CrawlConfig = CrawlConfig()): Dataset[FrontierUpdate] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val wantMime = graft.frontier.FetchSchedule.nameFor(cfg) == "mime"
-    pages.map { p =>
-      val meta = if (wantMime && p.content_type != null) Map("content_type" -> p.content_type)
-                 else Map.empty[String, String]
+    val keys = cfg.parseMetaToCrawlDb
+    if (!wantMime && keys.isEmpty)
+      pages.map { p =>
+        FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
+          p.fetch_interval, p.score, p.signature, 0L, p.repr_url, Map.empty)
+      }
+    else pages.map { p =>
+      var meta = Map.empty[String, String]
+      if ((wantMime || keys.contains("content_type")) && p.content_type != null)
+        meta += "content_type" -> p.content_type
+      if (keys.contains("mime"))
+        meta += "mime" -> graft.url.Mime.resolve(p.content_type, p.url)
+      if (keys.contains("n_spans"))
+        meta += "n_spans" -> p.spans.size.toString
+      if (keys.contains("title"))
+        p.spans.find(s => s.kind == "text" && s.text != null)
+          .foreach(s => meta += "title" -> s.text)
       FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
         p.fetch_interval, p.score, p.signature, 0L, p.repr_url, meta)
     }

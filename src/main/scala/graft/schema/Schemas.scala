@@ -38,7 +38,9 @@ case class FrontierEntry(
     metadata: Map[String, String]
 )
 
-/** A generated fetch-list row (crawl_generate equivalent). */
+/** A generated fetch-list row (crawl_generate equivalent).
+  * `fetch_delay_ms` is the generator-stamped variable fetch delay
+  * (`_variableFetchDelay_`); -1 = unset (use the configured server delay). */
 case class FetchTask(
     url: String,
     url_hash: Long,
@@ -49,7 +51,8 @@ case class FetchTask(
     retries: Int,
     fetch_interval: Int,
     score: Float,
-    segment: Int
+    segment: Int,
+    fetch_delay_ms: Long = -1L
 )
 
 /** Fetch outcome (crawl_fetch equivalent). `fetch_time` is the simulated or

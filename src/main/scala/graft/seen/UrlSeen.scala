@@ -3,7 +3,7 @@ package graft.seen
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -101,14 +101,26 @@ object UrlSeen {
     SeenFilter(spark.sparkContext.broadcast(bf), expected, fpp, inserted)
   }
 
+  /** Codegen'd bloom-membership probe (native Catalyst expression, not a
+    * UDF): registered per filter under a broadcast-unique name so lazily
+    * analyzed plans never observe a later filter's builder. */
+  def mightContainCol(spark: SparkSession, seen: SeenFilter, c: Column): Column = {
+    val name = s"graft_seen_mc_${seen.bloom.id}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BloomMightContainLong(es.head, seen.bloom),
+      "built-in")
+    call_function(name, c)
+  }
+
   /** Split candidates (must carry url_hash) into definitely-new rows plus the
     * exactly-resolved maybe-seen survivors. `frontierKeys` is the frontier
     * projected to url_hash (column pruning keeps the scan 8 bytes/row). */
   def filterUnseen(candidates: DataFrame, seen: SeenFilter, frontierKeys: DataFrame): DataFrame = {
-    val bloomBc = seen.bloom
-    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
-    val definitelyNew = candidates.filter(!mightContain(col("url_hash")))
-    val maybeSeen = candidates.filter(mightContain(col("url_hash")))
+    val spark = candidates.sparkSession
+    val mightContain = mightContainCol(spark, seen, col("url_hash"))
+    val definitelyNew = candidates.filter(!mightContain)
+    val maybeSeen = candidates.filter(mightContain)
     val resolved = maybeSeen.join(frontierKeys.select(col("url_hash")).distinct(),
       Seq("url_hash"), "left_anti")
     definitelyNew.unionByName(resolved)

@@ -18,17 +18,35 @@ import java.util.Locale
   *
   * Registered domain = public suffix + one more label.
   *
-  * The embedded rule set is a curated subset of the public-suffix list
-  * (ICANN second-level registrations for the major ccTLDs, the wildcard
-  * ccTLDs, and widely-used private suffixes like github.io) plus the test
-  * fixture TLD. It is data, not code: swap in the full list file for
-  * production. Unlisted TLDs fall back to the default rule, which is the
-  * correct PSL behavior (last label = suffix, last two = registered).
+  * Rule data: the COMPLETE publicsuffix.org list (public data, MPL-2.0),
+  * embedded as the classpath resource `public_suffix_list.dat` and loaded
+  * at class init — the same data crawler-commons embeds for the reference.
+  * The curated subset below remains as the fallback when the resource is
+  * absent (stripped jars); the synthetic-web fixture TLD `fix.test` is
+  * always appended so fixture hosts keep their per-site registered domains.
   */
 object PublicSuffix {
 
+  /** The full public-suffix list from the embedded resource; rule lines
+    * only (comments/blanks dropped, first whitespace terminates a rule). */
+  private def loadFullList(): Option[Array[String]] = {
+    val in = getClass.getResourceAsStream("/public_suffix_list.dat")
+    if (in == null) None
+    else try {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try {
+        val rules = src.getLines()
+          .map(_.trim.takeWhile(c => !c.isWhitespace))
+          .filter(l => l.nonEmpty && !l.startsWith("//"))
+          .toArray
+        if (rules.nonEmpty) Some(rules) else None
+      } finally src.close()
+    } finally in.close()
+  }
+
+  // fallback data: curated PSL subset
   // format: plain suffix | "*.x" wildcard | "!x" exception
-  private val RuleData: Array[String] = Array(
+  private val CuratedRules: Array[String] = Array(
     // --- generic: covered by the default rule; only multi-label needs listing ---
     // United Kingdom
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
@@ -104,6 +122,9 @@ object PublicSuffix {
     // --- test fixture TLD ---
     "fix.test"
   )
+
+  private val RuleData: Array[String] =
+    loadFullList().map(_ :+ "fix.test").getOrElse(CuratedRules)
 
   private final case class Rule(labels: Array[String], exception: Boolean, wildcard: Boolean)
 

@@ -59,6 +59,52 @@ class FetcherSpec extends AnyFunSuite {
     assert(metrics.head.virtual_ms < 15 * cfg.serverDelayMs)
   }
 
+  test("variable fetch delay (_variableFetchDelay_): stamped delay presets the queue, robots wins") {
+    // slow host carries a 3000 ms generator-stamped delay (> serverDelayMs)
+    val slow = (1 to 5).map(i => task(s"http://slow.fix.test/p$i").copy(fetch_delay_ms = 3000L))
+    val fast = (1 to 5).map(i => task(s"http://fast.fix.test/p$i"))
+    val (out, _) = run(slow ++ fast, ScriptedFetcher(Map.empty, Map.empty))
+    val byHost = out.groupBy(_.host)
+    def gaps(host: String) = {
+      val times = byHost(host).map(_.fetch_time).sorted
+      times.zip(times.tail).map { case (a, b) => b - a }
+    }
+    assert(gaps("slow.fix.test").forall(_ >= 3000L),
+      s"variable delay must widen the gap: ${gaps("slow.fix.test")}")
+    assert(gaps("fast.fix.test").forall(g => g >= cfg.serverDelayMs && g < 3000L),
+      "unstamped host keeps the default server delay")
+    // robots Crawl-delay still wins over the stamped delay
+    val robots = (1 to 3).map(i => task(s"http://cd.fix.test/p$i").copy(fetch_delay_ms = 500L))
+    val (out2, _) = run(robots, ScriptedFetcher(Map.empty,
+      Map("cd.fix.test" -> RobotsPolicy.CrawlDelay(6))))
+    val t2 = out2.map(_.fetch_time).sorted
+    assert(t2.zip(t2.tail).forall { case (a, b) => b - a >= 6000L },
+      "robots Crawl-delay must override the variable delay")
+  }
+
+  test("generator stamps hostDelays onto selected fetch tasks (broadcast join)") {
+    val spark = SparkSpecBase.session
+    import spark.implicits._
+    val now = t0
+    val entries = (1 to 4).map { i =>
+      val url = s"http://slow.fix.test/p$i"
+      graft.schema.FrontierEntry(url, Urls.hash64(url), "slow.fix.test", "slow.fix.test",
+        CrawlStatus.DB_UNFETCHED, now - 1000, 0, 2592000, 1f, null, 0L, null, -1L, Map.empty)
+    } ++ (1 to 4).map { i =>
+      val url = s"http://fast.fix.test/p$i"
+      graft.schema.FrontierEntry(url, Urls.hash64(url), "fast.fix.test", "fast.fix.test",
+        CrawlStatus.DB_UNFETCHED, now - 1000, 0, 2592000, 1f, null, 0L, null, -1L, Map.empty)
+    }
+    val frontier = spark.createDataset(entries)
+    val delays = Seq(("slow.fix.test", 2500L)).toDF("host", "delay_ms")
+    val c = CrawlConfig(topN = 100, maxPerHost = 50, numFetchPartitions = 1)
+    val (fl, _) = graft.generate.Generator.generate(frontier, c, now, 1,
+      Map.empty, None, Some(delays))
+    val tasks = fl.collect()
+    assert(tasks.filter(_.host == "slow.fix.test").forall(_.fetch_delay_ms == 2500L))
+    assert(tasks.filter(_.host == "fast.fix.test").forall(_.fetch_delay_ms == -1L))
+  }
+
   test("robots deny-all → fetch_gone ROBOTS_DENIED, no politeness wait") {
     val tasks = (1 to 5).map(i => task(s"http://deny.fix.test/p$i"))
     val (out, m) = run(tasks, ScriptedFetcher(Map.empty, Map("deny.fix.test" -> RobotsPolicy.DenyAll)))

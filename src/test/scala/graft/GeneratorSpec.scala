@@ -33,6 +33,36 @@ class GeneratorSpec extends AnyFunSuite with SparkSpecBase {
     assert(got.map(_.score).sorted.reverse.toSeq == (91 to 100).reverse.map(_.toFloat).toSeq)
   }
 
+  test("generate.count.mode=domain: Generator2 grouped secondary sort, exact per-domain cap") {
+    import spark.implicits._
+    // one registered domain spread over 3 hosts (would split across host-hash
+    // partitions in host mode) + an unrelated domain
+    val multi = (1 to 3).flatMap(h => (1 to 10).map(i =>
+      entry(s"http://h$h.bigcorp.example.com/p$i", (h * 100 + i).toFloat)))
+    val other = (1 to 10).map(i => entry(s"http://solo.example.org/p$i", 50f + i))
+    val frontier = (multi ++ other).toDS()
+    val cfg = CrawlConfig(topN = 1000, numFetchPartitions = 4, maxPerHost = 100,
+      maxPerDomain = 7, generateCountMode = "domain")
+    val (list, _) = Generator.generate(frontier, cfg, now, 1)
+    val tasks = list.rdd.mapPartitionsWithIndex((pid, it) =>
+      it.map(t => (pid, t))).collect()
+
+    // exact cap: the multi-host domain yields exactly maxPerDomain URLs...
+    // (registered domain of hN.bigcorp.example.com is example.com)
+    val big = tasks.filter(_._2.domain == "example.com")
+    assert(big.length == 7, s"exact per-domain cap expected 7, got ${big.length}")
+    // ...in ONE partition (never split), and they are the domain's top-7
+    assert(big.map(_._1).distinct.length == 1, "a domain must not split across partitions")
+    assert(big.map(_._2.score).sorted.reverse.toSeq ==
+      multi.map(_.score).sorted.reverse.take(7).toSeq,
+      "the per-domain selection must keep the domain's best-scored URLs")
+    // each domain's URLs were processed best-first within the partition
+    // (grouped secondary sort): verify via the selection = prefix of the
+    // domain's score-descending order
+    val soloScores = tasks.filter(_._2.domain == "example.org").map(_._2.score)
+    assert(soloScores.sorted.reverse.toSeq == other.map(_.score).sorted.reverse.take(soloScores.length).toSeq)
+  }
+
   test("per-host cap: at most maxPerHost URLs of one host") {
     import spark.implicits._
     val frontier = ((1 to 50).map(i => entry(s"http://hot.example.com/p$i", 100f + i)) ++

@@ -124,6 +124,43 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(cells.length > 1, "more than one populated cell")
   }
 
+  test("IVF index persists: build once, probe twice identical, no k-means on probe") {
+    val qids = (0 until 8).map(_ * 25L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val built = SimilarityOps.buildIvfIndex(planted, nCentroids = 16)
+    SimilarityOps.saveIvfIndex(built, dir)
+    val loaded = SimilarityOps.loadIvfIndex(spark, dir)
+    assert(loaded.centroids.map(_.toSeq) == built.centroids.map(_.toSeq))
+
+    // count Spark jobs per probe: the probe phase must not re-run k-means
+    // (each Lloyd iteration is a collect job; the probe is a plain query)
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val p1 = SimilarityOps.ivfProbe(loaded, qids, 5).collect()
+      org.apache.spark.GraftSparkTestAccess.waitListenerBusEmpty(spark.sparkContext)
+      val jobsProbe1 = jobCount.getAndSet(0)
+      val p2 = SimilarityOps.ivfProbe(loaded, qids, 5).collect()
+      org.apache.spark.GraftSparkTestAccess.waitListenerBusEmpty(spark.sparkContext)
+      val jobsProbe2 = jobCount.getAndSet(0)
+      assert(p1.map(_.toString).sorted.toSeq == p2.map(_.toString).sorted.toSeq,
+        "repeated probes of one index must be identical")
+      SimilarityOps.ivfTopK(planted, qids, 5, nCentroids = 16).collect()
+      org.apache.spark.GraftSparkTestAccess.waitListenerBusEmpty(spark.sparkContext)
+      val jobsRebuild = jobCount.get()
+      assert(jobsProbe2 < jobsRebuild,
+        s"probe ($jobsProbe2 jobs) must be cheaper than build+probe ($jobsRebuild jobs): no k-means re-run")
+      // probe results match the one-shot path on the same parameters
+      val oneShot = SimilarityOps.ivfTopK(planted, qids, 5, nCentroids = 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1.map(r => (r.getLong(0), r.getLong(1))).toSet == oneShot)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("exact dedup groups: identical text, same signature, min doc_id canonical") {
     val dups = DedupOps.exactDups(augmented).collect()
     assert(dups.length == 15)

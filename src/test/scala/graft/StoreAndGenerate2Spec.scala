@@ -230,6 +230,42 @@ class StoreAndGenerate2Spec extends AnyFunSuite with SparkSpecBase {
     }
   }
 
+  test("db.parsemeta.to.crawldb: configured keys survive the round trip on both updatedb paths") {
+    import spark.implicits._
+    val now = 1700000000000L
+    val url = "http://pm.fix.test/page"
+    val host = graft.url.Urls.hostOf(url)
+    val page = graft.fetch.FetchedPage(url, graft.url.Urls.hash64(url), host,
+      CrawlStatus.FETCH_SUCCESS, "SUCCESS", now, "text/html; charset=utf-8",
+      Array[Byte](1, 2), null, 0, 2592000, 1f, 1,
+      Seq(graft.schema.Span("text", "Hello World", null, 0),
+        graft.schema.Span("link", "go", "http://pm.fix.test/next", 1)))
+    val pages = spark.createDataset(Seq(page))
+    val oldEntry = FrontierEntry(url, graft.url.Urls.hash64(url), host,
+      graft.url.Urls.registeredDomainOf(host), CrawlStatus.DB_UNFETCHED,
+      now - 1000, 0, 2592000, 1f, null, 0L, null, -1L, Map("old_key" -> "kept"))
+    val frontier = spark.createDataset(Seq(oldEntry))
+    val noLinks = spark.emptyDataset[graft.schema.FrontierUpdate]
+
+    // default: no configured keys → no metadata allocated on the hot path
+    val plain = graft.parse.Parse.fetchUpdates(pages, CrawlConfig()).head()
+    assert(plain.metadata.isEmpty)
+
+    val c = CrawlConfig(parseMetaToCrawlDb = Seq("mime", "n_spans", "title"))
+    val updates = graft.parse.Parse.fetchUpdates(pages, c)
+    for (columnar <- Seq(false, true)) {
+      val out = (if (columnar) graft.frontier.UpdateDbColumnar.run(frontier, updates, noLinks, c, now)
+                 else graft.frontier.UpdateDb.run(frontier, updates, noLinks, c, now)).collect()
+      assert(out.length == 1)
+      val meta = out.head.metadata
+      assert(meta("mime") == "text/html", s"columnar=$columnar: $meta")
+      assert(meta("n_spans") == "2")
+      assert(meta("title") == "Hello World")
+      assert(meta("old_key") == "kept", "old metadata must merge through (fetch wins on conflict)")
+      assert(!meta.contains("content_type"), "unconfigured keys must not ride along")
+    }
+  }
+
   test("resetTo an earlier round then continuing the crawl replays cleanly (bloom on)") {
     import spark.implicits._
     val root = tmp()

@@ -27,6 +27,18 @@ class PublicSuffixSpec extends AnyFunSuite {
     assert(PublicSuffix.registeredDomainOf("www.ck") == "www.ck")
     assert(PublicSuffix.registeredDomainOf("a.www.ck") == "www.ck")
   }
+  test("full publicsuffix.org data is loaded: kobe.jp wildcard+exception pair") {
+    // *.kobe.jp (wildcard) with !city.kobe.jp (exception) — present only in
+    // the complete list, absent from the curated fallback
+    assert(PublicSuffix.publicSuffixOf("a.b.nagata.kobe.jp") == "nagata.kobe.jp")
+    assert(PublicSuffix.registeredDomainOf("a.b.nagata.kobe.jp") == "b.nagata.kobe.jp")
+    assert(PublicSuffix.registeredDomainOf("www.city.kobe.jp") == "city.kobe.jp")
+    assert(PublicSuffix.publicSuffixOf("city.kobe.jp") == "kobe.jp")
+    // more full-list-only rules across sections
+    assert(PublicSuffix.publicSuffixOf("a.b.nom.br") == "b.nom.br")      // *.nom.br wildcard
+    assert(PublicSuffix.registeredDomainOf("x.pvt.k12.ma.us") == "x.pvt.k12.ma.us")
+    assert(PublicSuffix.publicSuffixOf("foo.eu.org") == "eu.org")         // private section
+  }
   test("default rule and degenerate hosts") {
     assert(PublicSuffix.registeredDomainOf("foo.unknowntld") == "foo.unknowntld")
     assert(PublicSuffix.registeredDomainOf("a.b.foo.unknowntld") == "foo.unknowntld")

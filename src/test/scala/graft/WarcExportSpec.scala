@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.cli.{Crawl, CrawlRound}
+import graft.fixtures.{SyntheticWeb, WebConfig}
+import graft.frontier.CrawlConfig
+
+/** WARC-shaped export: a fetched round maps to request/response/metadata
+  * records with the reference WarcWriter's field semantics (record triple,
+  * Concurrent-To linkage, warcinfo, revisit profile, payload shapes). */
+class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graft-warc").toString
+
+  val web = SyntheticWeb(WebConfig(nHosts = 6, pagesPerHost = 10, hotFactor = 2))
+  val cfg = CrawlConfig(topN = 200, maxPerHost = 40, numFetchPartitions = 2,
+    serverDelayMs = 200, fetchLatencyMs = 5)
+
+  test("fetched round exports the reference's record shape") {
+    val root = tmp()
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
+    val crawl = Crawl(spark, root, cfg, graft.fetch.SyntheticFetcher(web, 5))
+    val recs = crawl.exportWarc(1).get.cache()
+
+    // one warcinfo; every other record points at it
+    val info = recs.filter(col("warc_type") === "warcinfo").collect()
+    assert(info.length == 1)
+    val infoId = info(0).getAs[String]("record_id")
+    assert(infoId.startsWith("<urn:uuid:") && infoId.endsWith(">"))
+    assert(recs.filter(col("warc_type") =!= "warcinfo")
+      .filter(col("warcinfo_id") =!= infoId).count() == 0)
+
+    // record triple per exported URL: response/request/metadata counts equal
+    val byType = recs.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("response") > 0)
+    assert(byType("request") == byType.getOrElse("response", 0L) + byType.getOrElse("revisit", 0L))
+    assert(byType("metadata") == byType("request"))
+
+    // Concurrent-To of request + metadata records = the response record id
+    val respIds = recs.filter(col("warc_type").isin("response", "revisit"))
+      .select(col("target_uri"), col("record_id")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    recs.filter(col("warc_type").isin("request", "metadata")).collect().foreach { r =>
+      assert(r.getAs[String]("concurrent_to") == respIds(r.getAs[String]("target_uri")))
+    }
+
+    // response payload: status line + content-type header + body text
+    val ok = recs.filter(col("warc_type") === "response" && col("http_status") === 200)
+    val payload = new String(ok.first().getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(payload.startsWith("HTTP/1.1 200 OK\r\nContent-Type: "))
+    assert(payload.contains("\r\n\r\n") && payload.split("\r\n\r\n", 2)(1).nonEmpty)
+    assert(ok.filter(col("payload_digest").startsWith("md5:")).count() == ok.count())
+    assert(ok.filter(col("content_type") === "application/http; msgtype=response").count() == ok.count())
+
+    // request payload: reconstructed GET with Host header
+    val req = recs.filter(col("warc_type") === "request").first()
+    val reqPayload = new String(req.getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(reqPayload.startsWith("GET /"))
+    assert(reqPayload.contains("\r\nHost: "))
+    assert(req.getAs[String]("content_type") == "application/http; msgtype=request")
+
+    // metadata payload: warc-fields
+    val meta = recs.filter(col("warc_type") === "metadata").first()
+    assert(new String(meta.getAs[Array[Byte]]("payload"), "UTF-8").contains("fetchTimeMs: "))
+    assert(meta.getAs[String]("content_type") == "application/warc-fields")
+
+    // 404s export as 404 responses; no EXCEPTION/RETRY rows leak in
+    val fetchedStatuses = store.loadRound(spark, "fetched", 1).get
+      .select("protocol_status").distinct().collect().map(_.getString(0)).toSet
+    if (fetchedStatuses.contains("NOTFOUND"))
+      assert(recs.filter(col("http_status") === 404).count() > 0)
+    assert(recs.filter(col("http_status").isNull && col("warc_type") =!= "warcinfo").count() == 0)
+
+    // deterministic re-export: identical record ids (replay-safe sink)
+    val again = crawl.exportWarc(1).get
+    assert(again.select("record_id").collect().map(_.getString(0)).sorted.toSeq ==
+      recs.select("record_id").collect().map(_.getString(0)).sorted.toSeq)
+    recs.unpersist()
+  }
+
+  test("redirects carry Location; revisit profile appears for not-modified") {
+    import spark.implicits._
+    val fetched = Seq(
+      ("http://a.test/moved", "a.test", "MOVED", 1000L, "text/html", null: Array[Byte], "http://a.test/new", 1),
+      ("http://a.test/nm", "a.test", "NOTMODIFIED", 1000L, "text/html", Array[Byte](1), null: String, 1)
+    ).toDF("url", "host", "protocol_status", "fetch_time", "mime", "signature", "repr_url", "round")
+    val recs = graft.index.WarcExport.records(fetched, None, 1)
+    val moved = recs.filter(col("warc_type") === "response").first()
+    assert(moved.getAs[Int]("http_status") == 301)
+    assert(new String(moved.getAs[Array[Byte]]("payload"), "UTF-8")
+      .contains("\r\nLocation: http://a.test/new"))
+    val revisit = recs.filter(col("warc_type") === "revisit").first()
+    assert(revisit.getAs[String]("warc_profile") == graft.index.WarcExport.RevisitProfile)
+    assert(revisit.getAs[Int]("http_status") == 304)
+    // revisit payload is headers only (no body after the blank line)
+    val rp = new String(revisit.getAs[Array[Byte]]("payload"), "UTF-8")
+    assert(rp.endsWith("\r\n\r\n"))
+  }
+
+  test("WarcIndexWriter writes per-round parquet records") {
+    val root = tmp()
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
+    val crawl = Crawl(spark, root, cfg, graft.fetch.SyntheticFetcher(web, 5))
+    val recs = crawl.exportWarc(1).get
+    val out = tmp()
+    graft.index.WarcIndexWriter(out).write(recs, 1)
+    val back = spark.read.parquet(s"$out/r1")
+    assert(back.count() == recs.count())
+    assert(back.columns.toSet == recs.columns.toSet)
+  }
+}

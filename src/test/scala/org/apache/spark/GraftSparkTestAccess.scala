@@ -6,4 +6,7 @@ package org.apache.spark
 object GraftSparkTestAccess {
   def broadcastBlockCount(sc: SparkContext): Int =
     sc.env.blockManager.getMatchingBlockIds(_.isBroadcast).size
+
+  /** Drain the listener bus so SparkListener-based job counters are exact. */
+  def waitListenerBusEmpty(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
 }
