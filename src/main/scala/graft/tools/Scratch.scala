@@ -12,24 +12,28 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
 
-    // full multi-round crawl through the public API: exercises the new bloom
-    // broadcast lifecycle (load → merge → destroy), hostdb reset-on-success,
-    // _ngt_ clear-on-write, and robots exact-token matching in one drive
-    val web = graft.fixtures.SyntheticWeb(
-      graft.fixtures.WebConfig(nHosts = 40, pagesPerHost = 30, hotFactor = 8))
-    val cfg = graft.frontier.CrawlConfig(topN = 2000, maxPerHost = 60,
-      numFetchPartitions = 8, serverDelayMs = 500, fetchLatencyMs = 10,
-      updateHostDb = true, skipHostsWithExceptions = 10)
+    println("=== q_parse_html plan (ReadSchema pruning + no shuffle) ===")
+    graft.parse.HtmlOps.parseHtmlStats(spark.read.parquet(s"$dir/documents.parquet"))
+      .explain("formatted")
+
+    println("=== WarcExport.records plan (projections + union, no shuffle) ===")
+    val web = graft.fixtures.SyntheticWeb(graft.fixtures.WebConfig(nHosts = 6, pagesPerHost = 10))
+    val cfg = graft.frontier.CrawlConfig(topN = 200, maxPerHost = 40, numFetchPartitions = 2,
+      serverDelayMs = 200, fetchLatencyMs = 5)
     val root = java.nio.file.Files.createTempDirectory("graft-scratch").toString
-    val (store, stats) = graft.cli.CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 4, root)
-    stats.foreach(s => println(
-      s"round ${s.round}: generated=${s.generated} fetched=${s.fetchedPages} " +
-      s"parsed=${s.parsedDocs} frontier=${s.frontierSize} unfetched=${s.frontierUnfetched} " +
-      s"wall=${s.wallMs}ms"))
-    println(s"frontier rows: ${store.load(spark, "frontier").get.count()}")
-    println(s"host_stats rows: ${store.load(spark, "host_stats").get.count()}")
-    println(s"seen_bloom round: ${store.current("seen_bloom").map(_.round)}")
+    val (store, _) = graft.cli.CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
+    val fetched = store.loadRound(spark, "fetched", 1).get
+    val parsed = store.loadRound(spark, "parsed", 1)
+    graft.index.WarcExport.records(fetched, parsed, 1).explain("formatted")
+
+    println("=== domain-mode generate plan ===")
+    import spark.implicits._
+    val frontier = store.load(spark, "frontier").get.as[graft.schema.FrontierEntry]
+    val (fl, _) = graft.generate.Generator.generate(frontier,
+      cfg.copy(generateCountMode = "domain"), 1700000100000L, 2)
+    fl.explain("formatted")
     spark.stop()
   }
 }

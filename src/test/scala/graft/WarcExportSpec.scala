@@ -100,6 +100,31 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(rp.endsWith("\r\n\r\n"))
   }
 
+  test("toWarc serializes WARC/1.1 record framing with correct Content-Length") {
+    import spark.implicits._
+    val fetched = Seq(
+      ("http://a.test/p", "a.test", "SUCCESS", 1700000000000L, "text/html", Array[Byte](1), null: String, 1)
+    ).toDF("url", "host", "protocol_status", "fetch_time", "mime", "signature", "repr_url", "round")
+    val recs = graft.index.WarcExport.records(fetched, None, 1)
+    val texts = graft.index.WarcExport.toWarc(recs).collect().map(_.getString(0))
+    assert(texts.length == 4) // warcinfo + response + request + metadata
+    for (t <- texts) {
+      assert(t.startsWith("WARC/1.1\r\n"))
+      assert(t.endsWith("\r\n\r\n"))
+      val Array(head, rest @ _*) = t.split("\r\n\r\n", 2)
+      val contentLength = head.linesIterator
+        .find(_.startsWith("Content-Length: ")).get.stripPrefix("Content-Length: ").toInt
+      val payload = rest.head.stripSuffix("\r\n\r\n")
+      assert(payload.getBytes("UTF-8").length == contentLength,
+        s"Content-Length must match payload bytes in:\n$head")
+      assert(head.contains("WARC-Record-ID: <urn:uuid:"))
+      assert(head.contains("WARC-Date: 2023-11-14T22:13:20Z") || head.contains("WARC-Date: 1970-01-01T00:00:00Z"))
+    }
+    val req = texts.find(_.contains("WARC-Type: request")).get
+    assert(req.contains("WARC-Concurrent-To: <urn:uuid:"))
+    assert(req.contains("Content-Type: application/http; msgtype=request"))
+  }
+
   test("WarcIndexWriter writes per-round parquet records") {
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
