@@ -159,16 +159,26 @@ object CrawlRound {
     }
     val parsedCount = obsParse.get("parsed").asInstanceOf[Long]
 
-    // --- URL-seen bloom (north rule): load the persisted broadcast filter;
+    // --- URL-seen bloom (north rule): reuse the session-cached broadcast
+    //     when it matches the committed blob (sequential rounds pay the
+    //     delta merge, never a full blob reload + re-broadcast — O(bloom)
+    //     per round otherwise, ~1.2 GB at 10^9 URLs); else load the blob;
     //     build-once from the frontier if absent (first round / migration).
     //     Saturated filters rebuild from the frontier at 2× capacity. ---
+    var seenFromCache = false
     val seen: Option[graft.seen.UrlSeen.SeenFilter] =
       if (!cfg.useSeenBloom) None
       else {
-        val loaded = store.loadBlob("seen_bloom").map(graft.seen.UrlSeen.fromBytes(spark, _))
+        val snap = store.current("seen_bloom")
+        val cached = snap.flatMap(s =>
+          graft.seen.UrlSeen.cachedFor(store.root, s.path, s.committedAtMs))
+        seenFromCache = cached.isDefined
+        val loaded = cached.orElse(
+          store.loadBlob("seen_bloom").map(graft.seen.UrlSeen.fromBytes(spark, _)))
         loaded match {
           case Some(sf) if !sf.saturated => Some(sf)
           case other =>
+            seenFromCache = false
             val cap = other match {
               case Some(sf) => math.max(cfg.bloomExpectedItems, sf.approxInserted * 2)
               case None => cfg.bloomExpectedItems
@@ -235,14 +245,15 @@ object CrawlRound {
         // allowRewind: after an explicit frontier resetTo the replayed rounds
         // re-commit the blob at lower rounds; the bloom is a monotone
         // superset, so a rewound pointer is still correct
-        store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round,
+        val snap = store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round,
           allowRewind = true)
-        // broadcast lifecycle: the blob is now the durable copy and every
-        // consumer of this round's filter has materialized — destroy both
-        // broadcasts so a long crawl holds ZERO live bloom broadcasts between
-        // rounds instead of accumulating one (~1.2 GB at 10^9 URLs) per round
-        if (!(merged.bloom eq sf.bloom)) sf.destroy()
-        merged.destroy()
+        // broadcast lifecycle: the blob is the durable copy; the MERGED
+        // filter becomes the session cache entry (next round reuses it when
+        // the blob identity matches — no reload, no re-broadcast) and every
+        // superseded broadcast is destroyed, so a crawl session holds at
+        // most ONE live bloom broadcast per store
+        graft.seen.UrlSeen.cacheFor(store.root, snap.path, snap.committedAtMs, merged)
+        if (!seenFromCache && !(merged.bloom eq sf.bloom)) sf.destroy()
       }
     }
 

@@ -74,6 +74,46 @@ object UrlSeen {
       seen.approxInserted + updateCount)
   }
 
+  // ---- in-session broadcast cache ----
+  //
+  // At 10^9 URLs the filter is ~1.2 GB: re-reading the blob and re-broadcasting
+  // it EVERY round is O(bloom) I/O + network where the round's delta is tiny.
+  // Sequential rounds in one session instead reuse the live broadcast: the
+  // cache holds at most ONE filter per store root, keyed by the committed
+  // blob's identity (path + commit timestamp) so any out-of-band blob change
+  // (resetTo replay, Bench blob restore, another writer) safely misses and
+  // reloads. Superseded filters are destroyed on replacement — a crawl session
+  // holds at most one live bloom broadcast per store.
+  private final case class CacheKey(path: String, committedAtMs: Long)
+  private val sessionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (CacheKey, SeenFilter)]()
+  private[graft] val cacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The cached filter for this store root, iff it matches the committed
+    * blob identity. */
+  def cachedFor(root: String, blobPath: String, committedAtMs: Long): Option[SeenFilter] = {
+    Option(sessionCache.get(root)).collect {
+      case (k, sf) if k == CacheKey(blobPath, committedAtMs) =>
+        cacheHits.incrementAndGet(); sf
+    }
+  }
+
+  /** Install `sf` as the root's cached filter; destroys the displaced one
+    * (unless it IS `sf`'s broadcast). */
+  def cacheFor(root: String, blobPath: String, committedAtMs: Long, sf: SeenFilter): Unit = {
+    val prev = sessionCache.put(root, (CacheKey(blobPath, committedAtMs), sf))
+    prev match {
+      case (_, old) if !(old.bloom eq sf.bloom) => old.destroy()
+      case _ =>
+    }
+  }
+
+  /** Drop (and destroy) the root's cached filter, if any. */
+  def invalidate(root: String): Unit = {
+    val prev = sessionCache.remove(root)
+    if (prev != null) prev._2.destroy()
+  }
+
   // ---- blob (SnapshotStore) serialization: versioned envelope ----
   private val Magic = 0x47424c4d // "GBLM"
 

@@ -93,10 +93,28 @@ class UrlSeenLoopSpec extends AnyFunSuite with SparkSpecBase {
     merged.destroy()
   }
 
-  test("round loop holds no live bloom broadcasts between rounds (lifecycle)") {
-    // every round loads the blob into a fresh broadcast and destroys both the
-    // loaded and the merged broadcast after the blob commit — the broadcast
-    // block count in the block manager must not grow round over round
+  test("sequential rounds reuse the session-cached bloom broadcast (no per-round reload)") {
+    val root = tmp()
+    val before = UrlSeen.cacheHits.get()
+    CrawlRound.syntheticCrawl(spark, web, baseCfg, rounds = 3, root)
+    assert(UrlSeen.cacheHits.get() - before >= 2,
+      "rounds 2 and 3 must reuse the cached broadcast instead of reloading the blob")
+    // an out-of-band blob change (identity mismatch) must MISS the cache
+    val store = new graft.store.SnapshotStore(root)
+    val blob = store.loadBlob("seen_bloom").get
+    store.commitBlob("seen_bloom", blob, 4) // same bytes, new commit identity
+    val hitsBefore = UrlSeen.cacheHits.get()
+    val fetcher = graft.fetch.SyntheticFetcher(web, 10)
+    CrawlRound.run(spark, store, fetcher, baseCfg, 4, 1700000000000L + 4 * 24 * 3600 * 1000)
+    // the first post-change round reloaded from the blob (no false hit on
+    // the stale broadcast); the NEXT round hits the fresh cache again
+    assert(UrlSeen.cacheHits.get() == hitsBefore, "changed blob identity must not hit the cache")
+  }
+
+  test("round loop does not accumulate bloom broadcasts (lifecycle)") {
+    // every superseded broadcast is destroyed; at most the single cached
+    // filter stays live — the broadcast block count in the block manager
+    // must not grow round over round
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, baseCfg, rounds = 1, root)
     val fetcher = graft.fetch.SyntheticFetcher(web, 10)
