@@ -180,6 +180,35 @@ object WarcExport {
       decode(col("payload"), "UTF-8"),
       lit("\r\n\r\n")).as("value"))
   }
+
+  /** Parse serialized WARC/1.1 record text back into the record table's
+    * core columns (round-trip reader for `toWarc` output; the ARC/WARC
+    * ingestion direction of the reference's util.WarcReader-style tooling).
+    * Pure column expressions: header block split at the first blank line,
+    * named fields extracted by regex, payload re-encoded as binary. */
+  def fromWarc(warcText: DataFrame): DataFrame = {
+    val head = split(col("value"), "\r\n\r\n", 2).getItem(0)
+    val payload = regexp_replace(
+      split(col("value"), "\r\n\r\n", 2).getItem(1), "\r\n\r\n$", "")
+    def field(name: String): Column = {
+      val m = regexp_extract(head, "(?m)^" + name + ": (.*)$", 1)
+      when(m === "", lit(null)).otherwise(m)
+    }
+    warcText.select(
+      field("WARC-Type").as("warc_type"),
+      field("WARC-Record-ID").as("record_id"),
+      field("WARC-Warcinfo-ID").as("warcinfo_id"),
+      field("WARC-Concurrent-To").as("concurrent_to"),
+      field("WARC-Target-URI").as("target_uri"),
+      (unix_timestamp(field("WARC-Date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").cast("long") * 1000L)
+        .as("date"),
+      field("Content-Type").as("content_type"),
+      field("WARC-Identified-Payload-Type").as("identified_payload_type"),
+      field("WARC-Payload-Digest").as("payload_digest"),
+      field("WARC-Profile").as("warc_profile"),
+      field("Content-Length").cast("int").as("content_length"),
+      encode(payload, "UTF-8").as("payload"))
+  }
 }
 
 /** WARC-record sink behind the IndexWriter plugin point: exports the round's

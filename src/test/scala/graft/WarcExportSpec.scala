@@ -125,6 +125,33 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(req.contains("Content-Type: application/http; msgtype=request"))
   }
 
+  test("fromWarc round-trips the serialized records (reader direction)") {
+    import spark.implicits._
+    val fetched = Seq(
+      ("http://a.test/p", "a.test", "SUCCESS", 1700000000000L, "text/html", Array[Byte](1), null: String, 1),
+      ("http://a.test/nm", "a.test", "NOTMODIFIED", 1700000000000L, "text/html", Array[Byte](2), null: String, 1)
+    ).toDF("url", "host", "protocol_status", "fetch_time", "mime", "signature", "repr_url", "round")
+    val recs = graft.index.WarcExport.records(fetched, None, 1).cache()
+    val back = graft.index.WarcExport.fromWarc(graft.index.WarcExport.toWarc(recs)).cache()
+    assert(back.count() == recs.count())
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("record_id", "warc_type", "target_uri", "date", "content_type",
+        "payload_digest", "warc_profile")
+        .collect().map(r => r.getString(0) -> r.toSeq.toList).toMap
+    val orig = keyed(recs)
+    val parsed = keyed(back)
+    assert(parsed == orig, "every named field must survive serialize→parse")
+    // payload bytes identical
+    val origPayloads = recs.select("record_id", "payload").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    back.select("record_id", "payload").collect().foreach { r =>
+      assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == origPayloads(r.getString(0)))
+    }
+    // content_length matches the re-encoded payload
+    assert(back.filter(expr("content_length != length(payload)")).count() == 0)
+    recs.unpersist(); back.unpersist()
+  }
+
   test("WarcIndexWriter writes per-round parquet records") {
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
