@@ -137,24 +137,27 @@ object Html {
         while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
                html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
         val aname = html.substring(as, i).toLowerCase(Locale.ROOT)
-        while (i < n && html.charAt(i).isWhitespace) i += 1
-        var avalue = ""
-        if (i < n && html.charAt(i) == '=') {
-          i += 1
+        if (aname.isEmpty) i += 1 // stray delimiter ('/', '='): always progress
+        else {
           while (i < n && html.charAt(i).isWhitespace) i += 1
-          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
-            val q = html.charAt(i); i += 1
-            val vs = i
-            while (i < n && html.charAt(i) != q) i += 1
-            avalue = html.substring(vs, i)
-            if (i < n) i += 1
-          } else {
-            val vs = i
-            while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
-            avalue = html.substring(vs, i)
+          var avalue = ""
+          if (i < n && html.charAt(i) == '=') {
+            i += 1
+            while (i < n && html.charAt(i).isWhitespace) i += 1
+            if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+              val q = html.charAt(i); i += 1
+              val vs = i
+              while (i < n && html.charAt(i) != q) i += 1
+              avalue = html.substring(vs, i)
+              if (i < n) i += 1
+            } else {
+              val vs = i
+              while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
+              avalue = html.substring(vs, i)
+            }
           }
+          attrs += aname -> decodeEntities(avalue)
         }
-        if (aname.nonEmpty) attrs += aname -> decodeEntities(avalue)
       }
     }
     (HElem(name, attrs.result(), mutable.ArrayBuffer.empty), selfClosed, i)

@@ -220,6 +220,34 @@ class HtmlParseSpec extends AnyFunSuite {
     })
   }
 
+  test("fuzz: parser is total and well-formed on 2000 random tag-soup documents") {
+    val fragments = Array(
+      "<a href='x.html'>", "</a>", "<div>", "</div>", "<img src=p.png alt='a'>",
+      "<script>", "</script>", "<style>", "</style>", "<!--", "-->", "<!doctype html>",
+      "text words here", "&amp;", "&#65;", "&bogus;", "< ", ">", "\"", "'",
+      "<a>", "<a href=>", "<form action='f' method=post>", "</form>",
+      "<meta name=robots content=noindex>", "<base href='/b/'>", "<br>", "<p>",
+      "<iframe src=//h.test/f>", "<A HREF=UP.HTML>Up</A>", "=", "<", "<<>>",
+      "<meta http-equiv=refresh content='0; url=r.html'>", "é中文",
+      "<a href=\"y.html\"><a href=\"z.html\">nested</a></a>", "<area href=q.html>")
+    val rnd = new scala.util.Random(7)
+    val kinds = Set("text", "link", "media", "redirect")
+    for (i <- 0 until 2000) {
+      val doc = (0 until (1 + rnd.nextInt(40))).map(_ => fragments(rnd.nextInt(fragments.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "")
+      val r = graft.parse.Html.parse(s"http://fuzz.test/d$i", doc) // must not throw
+      // spans well-formed: valid kinds, ordinal offsets, link/media carry refs
+      r.spans.zipWithIndex.foreach { case (s, idx) =>
+        assert(kinds.contains(s.kind), s"bad kind ${s.kind} in doc $i")
+        assert(s.offset == idx, s"non-ordinal offset in doc $i")
+        if (s.kind == "link" || s.kind == "media" || s.kind == "redirect")
+          assert(s.media_ref != null && s.media_ref.nonEmpty, s"empty ref in doc $i")
+        if (s.kind == "text")
+          assert(s.text != null && s.text.trim.nonEmpty, s"blank text span in doc $i")
+      }
+    }
+  }
+
   test("DocParsers dispatch by resolved mime") {
     val cfg = CrawlConfig()
     assert(DocParsers.forMime("text/html") == HtmlDocParser)
