@@ -152,6 +152,36 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     recs.unpersist(); back.unpersist()
   }
 
+  test("ARC import: container records re-enter the engine as parsed fetched pages") {
+    import spark.implicits._
+    def rec(url: String, mime: String, payload: String): String =
+      s"$url 10.0.0.1 20231114221320 $mime ${payload.getBytes("UTF-8").length}\n$payload\n\n"
+    val html = "<html><body>hello <a href=\"/next.html\">go</a></body></html>"
+    val container =
+      rec("filedesc://archive-1.arc", "text/plain", "1 0 InternetArchive") +
+      rec("http://arc.fix.test/page.html", "text/html", html) +
+      rec("http://arc.fix.test/note.txt", "text/plain", "plain  text here") +
+      rec("ftp://dropped.test/x", "text/plain", "filtered scheme") // url filter drops
+    val pages = graft.index.ArcImport
+      .toFetched(Seq(container).toDS(), CrawlConfig(), round = 7).collect()
+    assert(pages.length == 2, s"filedesc + filtered records must be skipped: ${pages.map(_.url).toSeq}")
+    val byUrl = pages.map(p => p.url -> p).toMap
+    val htmlPage = byUrl("http://arc.fix.test/page.html")
+    assert(htmlPage.status == graft.schema.CrawlStatus.FETCH_SUCCESS && htmlPage.round == 7)
+    assert(htmlPage.fetch_time == 1700000000000L) // 20231114221320 UTC
+    assert(htmlPage.spans == Seq(
+      graft.schema.Span("text", "hello", null, 0),
+      graft.schema.Span("link", "go", "http://arc.fix.test/next.html", 1)),
+      s"archived HTML must parse like a live fetch: ${htmlPage.spans}")
+    assert(htmlPage.signature != null)
+    assert(byUrl("http://arc.fix.test/note.txt").spans ==
+      Seq(graft.schema.Span("text", "plain text here", null, 0)))
+    // malformed tail is ignored, parsed prefix kept
+    val broken = rec("http://a.fix.test/ok.html", "text/html", "<body>x</body>") +
+      "http://bad.test NOHEADER\n"
+    assert(graft.index.ArcImport.parseArc(broken).map(_.url) == Seq("http://a.fix.test/ok.html"))
+  }
+
   test("WarcIndexWriter writes per-round parquet records") {
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
