@@ -53,6 +53,28 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
       .orderBy(col("status"))
   }
 
+  /** Per-round fetch throughput report (the reference fetcher's pages/s
+    * telemetry, Fetcher.java:165-189, derived from the recorded per-
+    * partition lineage instead of live counters): fetched pages, robots
+    * denials, retries, the politeness-clock seconds (max over partitions —
+    * partitions run concurrently) and pages/sec on that clock. */
+  def throughput: Option[DataFrame] = metrics.map { m =>
+    import org.apache.spark.sql.functions._
+    m.filter(col("stage") === "fetch")
+      .groupBy(col("round"))
+      .agg(
+        count(lit(1)).as("partitions"),
+        sum(col("input_rows")).as("generated"),
+        sum(col("fetched_urls")).as("fetched"),
+        sum(col("robots_denied")).as("robots_denied"),
+        sum(col("retries")).as("retries"),
+        (max(col("duration_ms")) / 1000.0).as("clock_sec"))
+      .withColumn("pages_per_sec",
+        org.apache.spark.sql.functions.round(
+          col("fetched") / greatest(col("clock_sec"), lit(0.001)), 1))
+      .orderBy(col("round"))
+  }
+
   /** Global top-N by score (reader `topN` verb). */
   def topN(n: Int): DataFrame = {
     import org.apache.spark.sql.functions._

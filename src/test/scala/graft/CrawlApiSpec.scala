@@ -33,6 +33,14 @@ class CrawlApiSpec extends AnyFunSuite with SparkSpecBase {
     assert(crawl.fetched(1).get.count() > 0)
     assert(crawl.parsed(2).get.count() > 0)
     assert(crawl.metrics.get.count() > 0)
+    // throughput telemetry: one row per round, fetched totals consistent
+    // with the fetched table, positive pages/sec on the politeness clock
+    val tp = crawl.throughput.get.collect()
+    assert(tp.map(_.getAs[Int]("round")).toSeq == Seq(1, 2))
+    val r1 = tp.head
+    assert(r1.getAs[Long]("fetched") ==
+      crawl.fetched(1).get.filter(org.apache.spark.sql.functions.col("protocol_status") === "SUCCESS").count())
+    assert(r1.getAs[Double]("pages_per_sec") > 0)
   }
 
   test("point lookup resolves through canonicalization") {
