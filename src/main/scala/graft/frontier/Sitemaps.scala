@@ -30,8 +30,16 @@ object Sitemaps {
       it.flatMap { host =>
         fetcher.robotsRules(host).toSeq.flatMap(_.sitemaps).flatMap { sm =>
           val resp = fetcher.fetch(sm)
-          if (resp.code != "SUCCESS" || resp.doc == null) Seq.empty
-          else resp.doc.spans.iterator
+          // raw-content protocols go through the mime registry (sitemap XML
+          // → <loc> link spans via XmlDocParser); span protocols serve
+          // link spans directly
+          val spans =
+            if (resp.code != "SUCCESS") Seq.empty
+            else if (resp.content != null)
+              graft.parse.DocParsers.parseSpans(resp.contentType, sm, resp.content, cfg)
+            else if (resp.doc != null) resp.doc.spans
+            else Seq.empty
+          spans.iterator
             .filter(s => s.kind == "link" && s.media_ref != null)
             .map(s => UrlFilters.canonicalizeAndFilter(s.media_ref))
             .filter(u => u != null && cfg.extraUrlFilters.forall(_.accept(u)))

@@ -33,7 +33,12 @@ object ArcImport {
 
   /** Parse one ARC container's text into its records. Forgiving: malformed
     * headers or truncated payloads end the scan; `filedesc://` version
-    * records are skipped. */
+    * records are skipped. NOTE: the ARC length field counts BYTES; this
+    * text-level parser slices characters, which is exact for single-byte
+    * content (the dominant archived-web case) — multi-byte payloads shift
+    * the frame and the forgiving scan stops at the first misaligned header
+    * instead of emitting garbage. Byte-exact framing would read containers
+    * as binary before decoding per-record. */
   def parseArc(container: String): Seq[ArcRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ArcRecord]
     var i = 0

@@ -34,6 +34,23 @@ object PlainTextDocParser extends DocParser {
   }
 }
 
+/** XML: sitemap documents (urlset/sitemapindex per sitemaps.org — the
+  * reference parses them via crawler-commons SiteMapParser in
+  * util/SitemapProcessor.java) yield their <loc> URLs as link spans;
+  * any other XML degrades to one text span. */
+object XmlDocParser extends DocParser {
+  private val Loc = "(?s)<loc>\\s*(.*?)\\s*</loc>".r
+  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
+    val text = new String(content, StandardCharsets.UTF_8)
+    if (text.contains("<urlset") || text.contains("<sitemapindex")) {
+      Loc.findAllMatchIn(text).map(_.group(1))
+        .map(Html.decodeEntities).filter(_.nonEmpty)
+        .zipWithIndex.map { case (loc, i) => Span("link", null, loc, i) }
+        .toSeq
+    } else PlainTextDocParser.parse(url, content, cfg)
+  }
+}
+
 /** Unparsable binary → one opaque media span referencing the URL itself
   * (the content rides in the segment; the span records the reference). */
 object BinaryDocParser extends DocParser {
@@ -50,8 +67,10 @@ object DocParsers {
   def forMime(mime: String): DocParser = mime match {
     case null => HtmlDocParser
     case "text/html" | "application/xhtml+xml" => HtmlDocParser
+    case "application/xml" | "text/xml" | "application/rss+xml" | "application/atom+xml" =>
+      XmlDocParser
     case m if m.startsWith("text/") => PlainTextDocParser
-    case "application/xml" | "application/json" | "application/javascript" => PlainTextDocParser
+    case "application/json" | "application/javascript" => PlainTextDocParser
     case _ => BinaryDocParser
   }
 

@@ -310,11 +310,24 @@ object Html {
 
   // ---------- text extraction (DOMContentUtils.getText discipline) ----------
 
+  /** Append `raw` with whitespace runs collapsed to single spaces and
+    * outer whitespace trimmed (hand-rolled: this runs once per text node on
+    * every parsed page — no per-call regex compilation). */
   private def appendText(sb: StringBuilder, raw: String): Unit = {
-    val t = raw.replaceAll("\\s+", " ").trim
-    if (t.nonEmpty) {
-      if (sb.nonEmpty && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
-      sb.append(t)
+    var i = 0
+    val n = raw.length
+    while (i < n && raw.charAt(i).isWhitespace) i += 1 // leading trim
+    if (i >= n) return
+    if (sb.nonEmpty && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+    var pendingSpace = false
+    while (i < n) {
+      val c = raw.charAt(i)
+      if (c.isWhitespace) pendingSpace = true
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
     }
   }
 

@@ -266,6 +266,29 @@ class HtmlParseSpec extends AnyFunSuite {
     assert(viaExt.exists(_.kind == "link"))
   }
 
+  test("XmlDocParser: sitemap XML yields loc link spans; other XML degrades to text") {
+    val cfg = CrawlConfig()
+    val sitemap =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>http://a.test/p1.html</loc><lastmod>2024-01-01</lastmod></url>
+        |  <url><loc> http://a.test/p2.html?x=1&amp;y=2 </loc></url>
+        |</urlset>""".stripMargin
+    val spans = DocParsers.parseSpans("application/xml", "http://a.test/sitemap.xml",
+      sitemap.getBytes("UTF-8"), cfg)
+    assert(spans == Seq(
+      Span("link", null, "http://a.test/p1.html", 0),
+      Span("link", null, "http://a.test/p2.html?x=1&y=2", 1)))
+    // sitemap index files work the same way
+    val index = "<sitemapindex><sitemap><loc>http://a.test/s1.xml</loc></sitemap></sitemapindex>"
+    assert(DocParsers.parseSpans("text/xml", "http://a.test/i.xml",
+      index.getBytes("UTF-8"), cfg).map(_.media_ref) == Seq("http://a.test/s1.xml"))
+    // non-sitemap XML: one text span
+    val other = DocParsers.parseSpans("application/xml", "http://a.test/feed.xml",
+      "<config><k>v</k></config>".getBytes("UTF-8"), cfg)
+    assert(other.length == 1 && other.head.kind == "text")
+  }
+
   test("fetch executor parses raw HTML bytes through the registry (content path)") {
     val html =
       """<html><head><title>H</title></head>
