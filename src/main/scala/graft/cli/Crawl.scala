@@ -135,6 +135,49 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     obs.get("n").asInstanceOf[Long]
   }
 
+  /** Import legacy ARC containers as a crawl round (the reference's
+    * ArcSegmentCreator flow: archive records become a fetched segment whose
+    * pages AND outlinks merge into the frontier through updatedb — the
+    * archived URLs enter as db_fetched, their discovered links as
+    * db_unfetched, and the crawl continues from there). Commits
+    * fetched/parsed segments plus the merged frontier at the next round. */
+  def importArc(containers: Dataset[String]): CrawlRound.RoundStats = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val roundNo = lastRound + 1
+    val now = startTimeMs + (roundNo - 1).toLong * roundIntervalMs
+    val pages = graft.index.ArcImport.toFetched(containers, cfg, roundNo)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.functions.GraftFunctions.register(spark)
+    store.commit("fetched", pages.toDF().drop("spans")
+      .withColumn("mime", call_function("mime_resolve", col("content_type"), col("url"))),
+      roundNo, allowRewind = true)
+    store.commit("parsed", graft.parse.Parse.parsedDocs(pages).toDF(), roundNo,
+      allowRewind = true)
+    val frontierDs = {
+      import spark.implicits._
+      store.load(spark, "frontier").map(_.as[FrontierEntry])
+        .getOrElse(spark.emptyDataset[FrontierEntry])
+    }
+    val updates = graft.parse.Parse.fetchUpdates(pages, cfg)
+    val linked = graft.parse.Parse.linkedUpdates(pages, cfg, roundNo)
+    val merged =
+      if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(frontierDs, updates, linked, cfg, now)
+      else graft.frontier.UpdateDb.run(frontierDs, updates, linked, cfg, now)
+    import org.apache.spark.sql.Observation
+    val obs = Observation(s"arc_import_r$roundNo")
+    store.commit("frontier", merged.toDF().observe(obs,
+      count(lit(1)).as("size"),
+      count(when(col("status") === graft.schema.CrawlStatus.DB_UNFETCHED, 1)).as("unfetched")),
+      roundNo)
+    val fetchedCount = pages.count()
+    pages.unpersist()
+    CrawlRound.RoundStats(roundNo, 0, fetchedCount, 0,
+      obs.get("size").asInstanceOf[Long], obs.get("unfetched").asInstanceOf[Long],
+      (System.nanoTime() - t0) / 1000000, 0)
+  }
+
   /** WARC-shaped export of a fetched round (the reference's WarcWriter
     * output re-expressed as a parquet record table — request/response/
     * metadata/warcinfo rows with the WARC named fields; revisit records for

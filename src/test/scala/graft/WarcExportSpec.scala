@@ -182,6 +182,35 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(graft.index.ArcImport.parseArc(broken).map(_.url) == Seq("http://a.fix.test/ok.html"))
   }
 
+  test("Crawl.importArc merges an archive into the frontier and the crawl continues") {
+    import spark.implicits._
+    val root = tmp()
+    val crawl = Crawl(spark, root, cfg, graft.fetch.SyntheticFetcher(web, 5))
+    crawl.inject(web.seedUrls.toDS())
+    def rec(url: String, mime: String, payload: String): String =
+      s"$url 10.0.0.1 20231114221320 $mime ${payload.getBytes("UTF-8").length}\n$payload\n\n"
+    // archive a page of the synthetic web pointing at another page
+    val archived = web.pageUrl(1, 3)
+    val target = web.pageUrl(1, 4)
+    val container = rec(archived, "text/html",
+      s"""<html><body>archived <a href="$target">next</a></body></html>""")
+    val stats = crawl.importArc(Seq(container).toDS())
+    assert(stats.fetchedPages == 1)
+    val rows = crawl.frontier.collect().map(r =>
+      r.getAs[String]("url") -> r.getAs[Byte]("status")).toMap
+    assert(rows(archived) == graft.schema.CrawlStatus.DB_FETCHED,
+      "archived page must enter as db_fetched")
+    assert(rows(target) == graft.schema.CrawlStatus.DB_UNFETCHED,
+      "the archive's outlink must enter as db_unfetched")
+    // fetched/parsed segments committed for the import round
+    assert(crawl.fetched(stats.round).get.count() == 1)
+    assert(crawl.parsed(stats.round).get.count() == 1)
+    // and a normal crawl round continues on top of the imported state
+    val after = crawl.round()
+    assert(after.round == stats.round + 1)
+    assert(after.frontierSize >= stats.frontierSize)
+  }
+
   test("WarcIndexWriter writes per-round parquet records") {
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
