@@ -1,0 +1,78 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.frontier.CrawlConfig
+
+/** spark-submit entry point (the reference's bin/nutch verb dispatcher,
+  * reference/src/bin/nutch + src/bin/crawl, reduced to the engine verbs):
+  *
+  * {{{
+  * spark-submit --class graft.cli.Main graft.jar inject  <store> <seedFile>
+  * spark-submit --class graft.cli.Main graft.jar crawl   <store> <rounds> [topN]
+  * spark-submit --class graft.cli.Main graft.jar stats   <store>
+  * spark-submit --class graft.cli.Main graft.jar topn    <store> <n>
+  * spark-submit --class graft.cli.Main graft.jar throughput <store>
+  * spark-submit --class graft.cli.Main graft.jar warc    <store> <round>
+  * spark-submit --class graft.cli.Main graft.jar sitemaps <store>
+  * }}}
+  *
+  * On a real cluster the session comes from spark-submit (master/executors
+  * from the submit conf); `--fetcher synthetic` (the default here) crawls
+  * the deterministic fixture web — a production deployment supplies its
+  * protocol stack by instantiating [[Crawl]] with its own
+  * [[graft.fetch.Fetcher]] (the one extension point this CLI cannot guess).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { usage(); sys.exit(2) }
+    val verb = args(0)
+    val storeRoot = args(1)
+    // master comes from spark-submit on a cluster; default to local[*] so
+    // the CLI also runs standalone (sbt runMain / java -cp)
+    val builder = SparkSession.builder()
+      .appName(s"graft-$verb")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master(sys.env.getOrElse("GRAFT_MASTER", "local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val web = graft.fixtures.SyntheticWeb(graft.fixtures.WebConfig(
+      nHosts = sys.env.getOrElse("GRAFT_WEB_HOSTS", "1000").toInt,
+      pagesPerHost = sys.env.getOrElse("GRAFT_WEB_PAGES", "100").toInt))
+    val cfg = CrawlConfig(
+      topN = args.lift(3).map(_.toLong)
+        .orElse(sys.env.get("GRAFT_TOPN").map(_.toLong)).getOrElse(50000L))
+    val crawl = Crawl(spark, storeRoot, cfg,
+      graft.fetch.SyntheticFetcher(web, cfg.fetchLatencyMs))
+
+    verb match {
+      case "inject" =>
+        val n = crawl.inject(spark.read.textFile(args(2)))
+        println(s"injected frontier size: $n")
+      case "crawl" =>
+        val stats = crawl.rounds(args(2).toInt)
+        stats.foreach(s => println(
+          s"round ${s.round}: fetched=${s.fetchedPages} frontier=${s.frontierSize} " +
+          s"unfetched=${s.frontierUnfetched} wall=${s.wallMs}ms"))
+      case "stats" => crawl.stats.show(100, truncate = false)
+      case "topn" => crawl.topN(args(2).toInt).show(args(2).toInt, truncate = false)
+      case "throughput" => crawl.throughput.foreach(_.show(1000, truncate = false))
+      case "warc" =>
+        val n = crawl.exportWarc(args(2).toInt).map(_.count()).getOrElse(0L)
+        println(s"warc records: $n")
+      case "sitemaps" =>
+        println(s"frontier size after sitemap inject: ${crawl.processSitemaps()}")
+      case other =>
+        usage(); sys.exit(2)
+    }
+    spark.stop()
+  }
+
+  private def usage(): Unit =
+    System.err.println(
+      "usage: graft.cli.Main <inject|crawl|stats|topn|throughput|warc|sitemaps> <store> [args]")
+}
