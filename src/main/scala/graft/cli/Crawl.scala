@@ -147,10 +147,16 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     val t0 = System.nanoTime()
     val roundNo = lastRound + 1
     val now = startTimeMs + (roundNo - 1).toLong * roundIntervalMs
-    val pages = graft.index.ArcImport.toFetched(containers, cfg, roundNo)
+    val skippedAcc = spark.sparkContext.longAccumulator(s"arc_skipped_bytes_r$roundNo")
+    val pages = graft.index.ArcImport.toFetched(containers, cfg, roundNo, Some(skippedAcc))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.functions.GraftFunctions.register(spark)
+    // imported-page count rides the fetched commit as an Observation, like
+    // every other count in the engine — no standalone count() job
+    import org.apache.spark.sql.Observation
+    val obsFetch = Observation(s"arc_import_fetched_r$roundNo")
     store.commit("fetched", pages.toDF().drop("spans")
+      .observe(obsFetch, count(lit(1)).as("fetched"))
       .withColumn("mime", call_function("mime_resolve", col("content_type"), col("url"))),
       roundNo, allowRewind = true)
     store.commit("parsed", graft.parse.Parse.parsedDocs(pages).toDF(), roundNo,
@@ -165,16 +171,27 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     val merged =
       if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(frontierDs, updates, linked, cfg, now)
       else graft.frontier.UpdateDb.run(frontierDs, updates, linked, cfg, now)
-    import org.apache.spark.sql.Observation
     val obs = Observation(s"arc_import_r$roundNo")
     store.commit("frontier", merged.toDF().observe(obs,
       count(lit(1)).as("size"),
       count(when(col("status") === graft.schema.CrawlStatus.DB_UNFETCHED, 1)).as("unfetched")),
       roundNo)
-    val fetchedCount = pages.count()
+    val frontierSize = obs.get("size").asInstanceOf[Long]
+    // keep the URL-seen bloom in sync with the frontier the import just
+    // changed — otherwise the next round's bloom-miss fast path re-inserts
+    // imported URLs rediscovered as outlinks as duplicate frontier rows
+    CrawlRound.maintainSeenBloom(spark, store, cfg, roundNo, frontierSize)
+    // surface abandoned container bytes (malformed/truncated ARC tails) in
+    // the lineage instead of dropping them silently
+    if (skippedAcc.value > 0) {
+      import spark.implicits._
+      store.appendMetrics(spark.createDataset(Seq(
+        graft.schema.RoundMetric(roundNo, "arc_skipped_bytes", -1,
+          skippedAcc.value, 0, 0, 0, 0, 0))).toDF(), roundNo, "arc_import")
+    }
     pages.unpersist()
-    CrawlRound.RoundStats(roundNo, 0, fetchedCount, 0,
-      obs.get("size").asInstanceOf[Long], obs.get("unfetched").asInstanceOf[Long],
+    CrawlRound.RoundStats(roundNo, 0, obsFetch.get("fetched").asInstanceOf[Long], 0,
+      frontierSize, obs.get("unfetched").asInstanceOf[Long],
       (System.nanoTime() - t0) / 1000000, 0)
   }
 

@@ -117,8 +117,15 @@ object CrawlRound {
         _.select(col("host"), expr(e).as("delay_ms")).filter(col("delay_ms").isNotNull)))
 
     // --- generate ---
+    // domain mode's exactness-vs-skew lineage warning: count domains whose
+    // eligible run exceeded the per-partition target (no extra job — the
+    // accumulator rides the existing generate mapPartitions)
+    val domainSkewAcc: Option[org.apache.spark.util.LongAccumulator] =
+      if (cfg.generateCountMode == "domain")
+        Some(spark.sparkContext.longAccumulator(s"generate_domain_skew_r$round"))
+      else None
     val (fetchlist0, markedFrontier) =
-      Generator.generate(frontier, cfg, now, round, hostSalt, badHosts, hostDelays)
+      Generator.generate(frontier, cfg, now, round, hostSalt, badHosts, hostDelays, domainSkewAcc)
     // two consumers (fetch input + mark-back broadcast) ONLY when the
     // mark-back runs; on the default path pages is the sole consumer and a
     // persist would just materialize 4M rows twice
@@ -283,10 +290,15 @@ object CrawlRound {
         m.fetched, m.robots_denied, m.retries, m.virtual_ms))
     if (metricRows.nonEmpty)
       store.appendMetrics(spark.createDataset(metricRows).toDF(), round, "fetch")
-    // round-level stage lineage (wall ms per stage)
+    // round-level stage lineage (wall ms per stage) + the domain-mode skew
+    // warning (generate_skew row: input_rows = # domains over the
+    // per-partition target — nonzero means domain mode is stalling
+    // partitions on this frontier; switch to host mode + salting)
+    val skewRows = domainSkewAcc.toSeq.filter(_.value > 0).map(acc =>
+      RoundMetric(round, "generate_skew", -1, acc.value, 0, 0, 0, 0, 0))
     val stageRows = stageMs.toSeq.map { case (stage, ms) =>
       RoundMetric(round, stage, -1, 0, 0, 0, 0, 0, ms)
-    }
+    } ++ skewRows
     if (stageRows.nonEmpty)
       store.appendMetrics(spark.createDataset(stageRows).toDF(), round, "stages")
     val virtualMsMax = if (fetchMetrics.isEmpty) 0L else fetchMetrics.asScala.map(_.virtual_ms).max
@@ -299,6 +311,50 @@ object CrawlRound {
 
     RoundStats(round, generated, fetchedPages, parsedCount, frontierSize, unfetched,
       (System.nanoTime() - t0) / 1000000, virtualMsMax, stageMs.toMap)
+  }
+
+  /** Post-commit URL-seen maintenance for out-of-band frontier writers (ARC
+    * import, mid-crawl merge tools): merge the just-committed frontier's
+    * bloom-missing url hashes into the live filter (session cache first,
+    * else blob) and swap the blob + cache, with the same broadcast lifecycle
+    * as the round loop. Without this, the next regular round reuses a STALE
+    * bloom and UpdateDbColumnar's bloom-miss fast path re-inserts imported
+    * URLs rediscovered as outlinks as brand-new frontier rows (duplicate
+    * keys). When no blob exists yet, builds one from the frontier (same as
+    * the round loop's first-round path); saturated filters rebuild at 2×. */
+  def maintainSeenBloom(
+      spark: SparkSession,
+      store: SnapshotStore,
+      cfg: CrawlConfig,
+      round: Int,
+      frontierSize: Long
+  ): Unit = {
+    if (!cfg.useSeenBloom) return
+    import graft.seen.UrlSeen
+    val frontierKeys = store.load(spark, "frontier")
+      .getOrElse(return).select(col("url_hash"))
+    val snapB = store.current("seen_bloom")
+    val cached = snapB.flatMap(s => UrlSeen.cachedFor(store.root, s.path, s.committedAtMs))
+    val fromCache = cached.isDefined
+    val loaded = cached.orElse(
+      store.loadBlob("seen_bloom").map(UrlSeen.fromBytes(spark, _)))
+    val (merged, superseded) = loaded match {
+      case Some(sf) if !sf.saturated =>
+        val newHashes = frontierKeys
+          .filter(!UrlSeen.mightContainCol(spark, sf, col("url_hash")))
+        (UrlSeen.merged(spark, sf, newHashes, 0L)
+          .copy(approxInserted = math.max(sf.approxInserted, frontierSize)),
+          if (fromCache) None else Some(sf))
+      case other =>
+        val cap = other.map(sf => math.max(cfg.bloomExpectedItems, sf.approxInserted * 2))
+          .getOrElse(cfg.bloomExpectedItems)
+        (UrlSeen.build(frontierKeys, cap, cfg.bloomFpp)
+          .copy(approxInserted = frontierSize), other)
+    }
+    val snap = store.commitBlob("seen_bloom", UrlSeen.toBytes(merged), round,
+      allowRewind = true)
+    UrlSeen.cacheFor(store.root, snap.path, snap.committedAtMs, merged)
+    superseded.foreach(sf => if (!(merged.bloom eq sf.bloom)) sf.destroy())
   }
 
   /** Resume-aware multi-round driver: continues after the last committed

@@ -29,6 +29,11 @@ object Main {
     if (args.length < 2) { usage(); sys.exit(2) }
     val verb = args(0)
     val storeRoot = args(1)
+    // per-verb arity: verbs with a required third operand fail with the usage
+    // message, not an ArrayIndexOutOfBoundsException
+    def arg2(what: String): String = args.lift(2).getOrElse {
+      System.err.println(s"$verb: missing <$what> operand"); usage(); sys.exit(2)
+    }
     // master comes from spark-submit on a cluster; default to local[*] so
     // the CLI also runs standalone (sbt runMain / java -cp)
     val builder = SparkSession.builder()
@@ -51,18 +56,20 @@ object Main {
 
     verb match {
       case "inject" =>
-        val n = crawl.inject(spark.read.textFile(args(2)))
+        val n = crawl.inject(spark.read.textFile(arg2("seedFile")))
         println(s"injected frontier size: $n")
       case "crawl" =>
-        val stats = crawl.rounds(args(2).toInt)
+        val stats = crawl.rounds(arg2("rounds").toInt)
         stats.foreach(s => println(
           s"round ${s.round}: fetched=${s.fetchedPages} frontier=${s.frontierSize} " +
           s"unfetched=${s.frontierUnfetched} wall=${s.wallMs}ms"))
       case "stats" => crawl.stats.show(100, truncate = false)
-      case "topn" => crawl.topN(args(2).toInt).show(args(2).toInt, truncate = false)
+      case "topn" =>
+        val n = arg2("n").toInt
+        crawl.topN(n).show(n, truncate = false)
       case "throughput" => crawl.throughput.foreach(_.show(1000, truncate = false))
       case "warc" =>
-        val n = crawl.exportWarc(args(2).toInt).map(_.count()).getOrElse(0L)
+        val n = crawl.exportWarc(arg2("round").toInt).map(_.count()).getOrElse(0L)
         println(s"warc records: $n")
       case "sitemaps" =>
         println(s"frontier size after sitemap inject: ${crawl.processSitemaps()}")

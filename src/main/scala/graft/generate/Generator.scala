@@ -89,7 +89,8 @@ object Generator {
       round: Int,
       hostSalt: Map[String, Int] = Map.empty,
       badHosts: Option[DataFrame] = None,
-      hostDelays: Option[DataFrame] = None
+      hostDelays: Option[DataFrame] = None,
+      domainSkewAcc: Option[org.apache.spark.util.LongAccumulator] = None
   ): (Dataset[FetchTask], Dataset[FrontierEntry]) = {
     val spark = frontier.sparkSession
     import spark.implicits._
@@ -105,7 +106,16 @@ object Generator {
     // secondary sort (domain asc, score desc) so each domain arrives as one
     // contiguous best-first run, per-domain reducer state cleared at every
     // domain boundary (O(one domain) memory, and maxPerDomain is EXACT
-    // because a domain never splits across partitions)
+    // because a domain never splits across partitions).
+    //
+    // SKEW TRADE (domain mode only): cap exactness requires a whole domain
+    // in one partition, so hot-host SALTING IS DISABLED — one mega-domain
+    // stalls its partition at scale (the same trade the reference's
+    // Generator2 makes). Host mode + salting is strictly better on skewed
+    // frontiers; domain mode is for cap EXACTNESS. `domainSkewAcc` counts
+    // domains whose eligible run exceeded the per-partition target — a
+    // nonzero count is the "this frontier is too skewed for domain mode"
+    // lineage warning (CrawlRound records it as a generate_skew metric).
     val byDomain = cfg.generateCountMode == "domain"
     val keyCol = if (byDomain) col("domain") else col("host")
     val sortCols = if (byDomain) Seq(col("domain"), desc("score")) else Seq(desc("score"))
@@ -123,13 +133,20 @@ object Generator {
         val domainCount = Array.fill(nSegments)(mutable.HashMap.empty[String, Int])
         val emitted = new Array[Long](nSegments)
         var lastDomain: String = null
-        it.flatMap { e =>
+        var domainRun = 0L // eligible rows consumed for the current domain
+        def noteDomainBoundary(): Unit = {
+          if (domainRun > perPartitionLimit) domainSkewAcc.foreach(_.add(1))
+          domainRun = 0L
+        }
+        val main = it.flatMap { e =>
           if (byDomain && e.domain != lastDomain) {
             // contiguous domains: per-domain state resets at the boundary
+            noteDomainBoundary()
             var s = 0
             while (s < nSegments) { hostCount(s).clear(); domainCount(s).clear(); s += 1 }
             lastDomain = e.domain
           }
+          if (byDomain) domainRun += 1
           var seg = -1
           var s = 0
           while (seg < 0 && s < nSegments) {
@@ -147,6 +164,9 @@ object Generator {
               e.fetch_time, e.retries, e.fetch_interval, e.score, seg))
           }
         }
+        // flush the final domain's run check after the input drains (by-name
+        // ++ operand: evaluated only once `main` is exhausted)
+        main ++ { if (byDomain) noteDomainBoundary(); Iterator.empty[FetchTask] }
       }
       // variable fetch delay (_variableFetchDelay_, reference
       // crawl/Generator.java:429-483): stamp the per-host delay computed

@@ -18,69 +18,85 @@ import graft.url.{UrlFilters, Urls}
   * ARC v1 URL-record header: `url ip-address archive-date content-type
   * length` (whitespace-separated); the container opens with a
   * `filedesc://` version record, which is skipped like the reference does.
-  * Records are parsed partition-local from container text and re-enter the
-  * engine as FETCH_SUCCESS pages through the mime-dispatched DocParser
-  * registry (so an archived HTML page yields the same interleaved spans a
-  * live fetch would), after the same normalize + filter discipline.
+  *
+  * Framing is BYTE-EXACT: the container is consumed as raw bytes and each
+  * record's payload is the `length`-byte slice after the header line — the
+  * ARC length field counts bytes, so multi-byte (UTF-8 etc.) payloads frame
+  * correctly and every following record is found. Payload bytes pass through
+  * undecoded into the mime-dispatched DocParser registry (which owns
+  * per-record charset handling). Malformed headers end the scan (forgiving,
+  * like the reference's readers) but the skipped byte count is RETURNED so
+  * callers can surface data loss instead of silently dropping it.
   */
 object ArcImport {
 
   final case class ArcRecord(url: String, ip: String, archiveDateMs: Long,
                              mime: String, payload: Array[Byte])
 
+  /** parseArc result: the framed records plus how many container bytes the
+    * forgiving scan had to abandon (0 on a well-formed container). */
+  final case class ArcParse(records: Seq[ArcRecord], skippedBytes: Long)
+
   private val ArcDate = java.time.format.DateTimeFormatter
     .ofPattern("yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC)
 
-  /** Parse one ARC container's text into its records. Forgiving: malformed
-    * headers or truncated payloads end the scan; `filedesc://` version
-    * records are skipped. NOTE: the ARC length field counts BYTES; this
-    * text-level parser slices characters, which is exact for single-byte
-    * content (the dominant archived-web case) — multi-byte payloads shift
-    * the frame and the forgiving scan stops at the first misaligned header
-    * instead of emitting garbage. Byte-exact framing would read containers
-    * as binary before decoding per-record. */
-  def parseArc(container: String): Seq[ArcRecord] = {
+  /** Frame one ARC container's BYTES into its records. The header line is
+    * ASCII by format; payloads are opaque byte slices (never decoded here). */
+  def parseArc(container: Array[Byte]): ArcParse = {
     val out = scala.collection.mutable.ArrayBuffer.empty[ArcRecord]
     var i = 0
     val n = container.length
+    def abandoned = ArcParse(out.toSeq, (n - i).toLong)
     while (i < n) {
       // skip blank separator lines
-      while (i < n && (container.charAt(i) == '\n' || container.charAt(i) == '\r')) i += 1
+      while (i < n && (container(i) == '\n' || container(i) == '\r')) i += 1
       if (i < n) {
-        val eol = container.indexOf('\n', i)
-        if (eol < 0) return out.toSeq
-        val header = container.substring(i, eol).trim
+        var eol = i
+        while (eol < n && container(eol) != '\n') eol += 1
+        if (eol >= n) return abandoned // header line never terminated
+        val header = new String(container, i, eol - i, StandardCharsets.UTF_8).trim
         val parts = header.split("\\s+")
-        if (parts.length < 5) return out.toSeq // malformed header: stop
-        val len = parts(parts.length - 1).toIntOption.getOrElse(return out.toSeq)
+        if (parts.length < 5) return abandoned // malformed header: stop
+        val len = parts(parts.length - 1).toIntOption.getOrElse(return abandoned)
         val start = eol + 1
-        if (start + len > n) return out.toSeq // truncated payload: stop
-        val payload = container.substring(start, start + len)
+        if (len < 0 || start + len > n) return abandoned // truncated payload
         if (!parts(0).startsWith("filedesc://")) {
           val dateMs =
             try java.time.Instant.from(ArcDate.parse(parts(2))).toEpochMilli
             catch { case _: Exception => 0L }
           out += ArcRecord(parts(0), parts(1), dateMs, parts(3),
-            payload.getBytes(StandardCharsets.UTF_8))
+            java.util.Arrays.copyOfRange(container, start, start + len))
         }
         i = start + len
       }
     }
-    out.toSeq
+    ArcParse(out.toSeq, 0L)
   }
 
-  /** ARC containers (one string each) → the engine's fetched-page rows:
-    * normalize + filter the URL, dispatch the payload through the mime
-    * registry for spans, sign the content — every row a FETCH_SUCCESS at
-    * the record's archive date (ArcSegmentCreator's fixed success
-    * semantics). Partition-local; no shuffle. */
-  def toFetched(containers: Dataset[String], cfg: CrawlConfig, round: Int): Dataset[FetchedPage] = {
+  /** Text-container convenience (tests, line-assembled fixtures): framing
+    * happens on the UTF-8 bytes, so multi-byte payload characters count as
+    * their byte length — matching the ARC length field's byte semantics. */
+  def parseArc(container: String): Seq[ArcRecord] =
+    parseArc(container.getBytes(StandardCharsets.UTF_8)).records
+
+  /** ARC containers (raw bytes each — e.g. `spark.read.format("binaryFile")`
+    * content) → the engine's fetched-page rows: normalize + filter the URL,
+    * dispatch the payload through the mime registry for spans, sign the
+    * content — every row a FETCH_SUCCESS at the record's archive date
+    * (ArcSegmentCreator's fixed success semantics). Partition-local; no
+    * shuffle. `skippedBytesAcc` (optional) accumulates abandoned container
+    * bytes so the import surfaces data loss in its lineage. */
+  def toFetchedBytes(containers: Dataset[Array[Byte]], cfg: CrawlConfig, round: Int,
+                     skippedBytesAcc: Option[org.apache.spark.util.LongAccumulator] = None
+                    ): Dataset[FetchedPage] = {
     val spark = containers.sparkSession
     import spark.implicits._
     val signer: graft.frontier.Signer =
       if (cfg.signer == "md5") graft.frontier.Md5Signer else graft.frontier.TextProfileSigner()
-    containers.flatMap { text =>
-      parseArc(text).iterator.flatMap { r =>
+    containers.flatMap { bytes =>
+      val parsed = parseArc(bytes)
+      if (parsed.skippedBytes > 0) skippedBytesAcc.foreach(_.add(parsed.skippedBytes))
+      parsed.records.iterator.flatMap { r =>
         val url = UrlFilters.canonicalizeAndFilter(r.url)
         if (url == null) Iterator.empty
         else {
@@ -92,5 +108,15 @@ object ArcImport {
         }
       }
     }
+  }
+
+  /** Text-container convenience over [[toFetchedBytes]]. */
+  def toFetched(containers: Dataset[String], cfg: CrawlConfig, round: Int,
+                skippedBytesAcc: Option[org.apache.spark.util.LongAccumulator] = None
+               ): Dataset[FetchedPage] = {
+    val spark = containers.sparkSession
+    import spark.implicits._
+    toFetchedBytes(containers.map(_.getBytes(StandardCharsets.UTF_8)), cfg, round,
+      skippedBytesAcc)
   }
 }

@@ -42,10 +42,16 @@ object UrlSeen {
                         fpp: Double, approxInserted: Long) {
     def mightContain(h: Long): Boolean = bloom.value.mightContainLong(h)
     def saturated: Boolean = approxInserted > expectedItems
-    /** Release the broadcast's executor + driver storage. The round loop calls
-      * this on every superseded filter so a long crawl holds exactly one live
-      * bloom broadcast (the blob on the SnapshotStore is the durable copy). */
-    def destroy(): Unit = bloom.destroy()
+    /** Release the broadcast's executor + driver storage AND the filter's
+      * temp-function registration (a long crawl would otherwise accumulate
+      * one registry entry per round, each pinning a destroyed broadcast
+      * handle). The round loop calls this on every superseded filter so a
+      * crawl holds exactly one live bloom broadcast (the blob on the
+      * SnapshotStore is the durable copy). */
+    def destroy(): Unit = {
+      UrlSeen.dropRegistration(bloom.id)
+      bloom.destroy()
+    }
   }
 
   /** Build + broadcast the bloom over a url_hash column. */
@@ -143,15 +149,37 @@ object UrlSeen {
 
   /** Codegen'd bloom-membership probe (native Catalyst expression, not a
     * UDF): registered per filter under a broadcast-unique name so lazily
-    * analyzed plans never observe a later filter's builder. */
+    * analyzed plans never observe a later filter's builder. The registration
+    * is tracked and dropped when the filter is destroyed — the registry
+    * stays flat across rounds instead of accumulating one dead entry per
+    * superseded broadcast. */
   def mightContainCol(spark: SparkSession, seen: SeenFilter, c: Column): Column = {
     val name = s"graft_seen_mc_${seen.bloom.id}"
+    registrations.put(seen.bloom.id, (spark, name))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BloomMightContainLong(es.head, seen.bloom),
       "built-in")
     call_function(name, c)
   }
+
+  // broadcast id → (session, registered temp-function name); entries removed
+  // (and the function dropped) when the owning filter is destroyed
+  private val registrations =
+    new java.util.concurrent.ConcurrentHashMap[Long, (SparkSession, String)]()
+
+  private[seen] def dropRegistration(broadcastId: Long): Unit = {
+    val reg = registrations.remove(broadcastId)
+    if (reg != null) {
+      val (spark, name) = reg
+      try spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+      catch { case _: Exception => () } // session already stopped: nothing to drop
+    }
+  }
+
+  /** Live probe registrations (test observability: must stay ≤ live filters). */
+  def registrationCount: Int = registrations.size
 
   /** Split candidates (must carry url_hash) into definitely-new rows plus the
     * exactly-resolved maybe-seen survivors. `frontierKeys` is the frontier

@@ -63,6 +63,27 @@ class GeneratorSpec extends AnyFunSuite with SparkSpecBase {
     assert(soloScores.sorted.reverse.toSeq == other.map(_.score).sorted.reverse.take(soloScores.length).toSeq)
   }
 
+  test("domain mode emits the skew warning when one domain exceeds the per-partition target") {
+    import spark.implicits._
+    // perPartitionLimit = topN/p = 5; the mega-domain's eligible run is 40
+    val mega = (1 to 40).map(i => entry(s"http://h${i % 4}.mega.example.com/p$i", i.toFloat))
+    val small = (1 to 3).map(i => entry(s"http://tiny$i.example.org/", 1f))
+    val cfg = CrawlConfig(topN = 10, numFetchPartitions = 2, maxPerHost = 100,
+      maxPerDomain = 100, generateCountMode = "domain")
+    val acc = spark.sparkContext.longAccumulator("skew-test")
+    val (list, _) = Generator.generate((mega ++ small).toDS(), cfg, now, 1,
+      domainSkewAcc = Some(acc))
+    list.collect() // materialize the mapPartitions so the accumulator fires
+    assert(acc.value >= 1, s"the 40-row domain must trip the skew warning (got ${acc.value})")
+    // and a balanced frontier stays quiet
+    val acc2 = spark.sparkContext.longAccumulator("skew-test-2")
+    val balanced = (1 to 8).map(i => entry(s"http://only.d$i.example.org/", i.toFloat))
+    val (list2, _) = Generator.generate(balanced.toDS(),
+      cfg.copy(topN = 100), now, 1, domainSkewAcc = Some(acc2))
+    list2.collect()
+    assert(acc2.value == 0, s"no domain over target, expected no warning (got ${acc2.value})")
+  }
+
   test("per-host cap: at most maxPerHost URLs of one host") {
     import spark.implicits._
     val frontier = ((1 to 50).map(i => entry(s"http://hot.example.com/p$i", 100f + i)) ++

@@ -131,6 +131,24 @@ class UrlSeenLoopSpec extends AnyFunSuite with SparkSpecBase {
       s"bloom broadcasts must not accumulate across rounds: $after3 blocks after r3, $after7 after r7")
   }
 
+  test("function registry stays flat across rounds (registrations dropped on destroy)") {
+    val root = tmp()
+    CrawlRound.syntheticCrawl(spark, web, baseCfg, rounds = 2, root)
+    val store = new graft.store.SnapshotStore(root)
+    val fetcher = graft.fetch.SyntheticFetcher(web, 10)
+    def seenFns(): Int = spark.sessionState.functionRegistry.listFunction()
+      .count(_.funcName.startsWith("graft_seen_mc_"))
+    val regsAfter2 = UrlSeen.registrationCount
+    val fnsAfter2 = seenFns()
+    CrawlRound.crawl(spark, store, fetcher, baseCfg, 4, 1700000000000L)
+    // at most ONE live filter per store → at most one registration beyond the
+    // baseline; superseded rounds' temp functions are dropped, not hoarded
+    assert(UrlSeen.registrationCount <= regsAfter2 + 1,
+      s"probe registrations must not accumulate: $regsAfter2 after r2, ${UrlSeen.registrationCount} after r6")
+    assert(seenFns() <= fnsAfter2 + 1,
+      s"graft_seen_mc_* registry entries must not accumulate: $fnsAfter2 after r2, ${seenFns()} after r6")
+  }
+
   test("seen filter round-trips through the blob envelope") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("url_hash")

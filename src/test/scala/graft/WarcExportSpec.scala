@@ -182,6 +182,61 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(graft.index.ArcImport.parseArc(broken).map(_.url) == Seq("http://a.fix.test/ok.html"))
   }
 
+  test("ARC framing is byte-exact: multi-byte payloads do not shift the frame") {
+    def rec(url: String, mime: String, payload: String): String =
+      s"$url 10.0.0.1 20231114221320 $mime ${payload.getBytes("UTF-8").length}\n$payload\n\n"
+    // é is 2 UTF-8 bytes, 中/文 are 3 each: byte length > char length, so the
+    // old char-sliced framing would misalign and drop records b and c
+    val p1 = "café 中文 multi-byte content"
+    assert(p1.getBytes("UTF-8").length > p1.length)
+    val container =
+      rec("http://mb.fix.test/a.txt", "text/plain", p1) +
+      rec("http://mb.fix.test/b.txt", "text/plain", "plain ascii after") +
+      rec("http://mb.fix.test/c.html", "text/html", "<body>énd</body>")
+    val parsed = graft.index.ArcImport.parseArc(container.getBytes("UTF-8"))
+    assert(parsed.skippedBytes == 0L)
+    assert(parsed.records.map(_.url) == Seq("http://mb.fix.test/a.txt",
+      "http://mb.fix.test/b.txt", "http://mb.fix.test/c.html"),
+      s"all records after a multi-byte payload must be framed: ${parsed.records.map(_.url)}")
+    assert(new String(parsed.records.head.payload, "UTF-8") == p1)
+    assert(new String(parsed.records(2).payload, "UTF-8") == "<body>énd</body>")
+    // abandoned tail bytes are COUNTED, not silently dropped
+    val truncated = rec("http://mb.fix.test/ok.txt", "text/plain", "fine") +
+      "http://bad.test NOHEADER\nleftover"
+    val pt = graft.index.ArcImport.parseArc(truncated.getBytes("UTF-8"))
+    assert(pt.records.map(_.url) == Seq("http://mb.fix.test/ok.txt"))
+    assert(pt.skippedBytes > 0, "malformed tail must be accounted as skipped bytes")
+  }
+
+  test("importArc maintains the URL-seen bloom (superset invariant, no duplicate rows)") {
+    import spark.implicits._
+    val root = tmp()
+    val cfgB = cfg.copy(useSeenBloom = true)
+    val crawl = Crawl(spark, root, cfgB, graft.fetch.SyntheticFetcher(web, 5))
+    crawl.inject(web.seedUrls.toDS())
+    crawl.round() // establishes the seen_bloom blob
+    def rec(url: String, mime: String, payload: String): String =
+      s"$url 10.0.0.1 20231114221320 $mime ${payload.getBytes("UTF-8").length}\n$payload\n\n"
+    // archive real fixture pages: both the page and its outlink are URLs the
+    // live crawl can rediscover as outlinks in later rounds
+    val archived = web.pageUrl(2, 1)
+    val linked = web.pageUrl(2, 2)
+    val stats = crawl.importArc(Seq(rec(archived, "text/html",
+      s"""<html><body>archived <a href="$linked">next</a></body></html>""")).toDS())
+    // the committed bloom must be a superset of the frontier the import changed
+    val sf = graft.seen.UrlSeen.fromBytes(spark, crawl.store.loadBlob("seen_bloom").get)
+    val hashes = crawl.frontier.select("url_hash").collect().map(_.getLong(0))
+    assert(hashes.forall(sf.mightContain),
+      "importArc must merge imported page+outlink hashes into the seen bloom")
+    assert(crawl.store.current("seen_bloom").get.round == stats.round)
+    // and the per-URL key invariant holds through subsequent live rounds
+    crawl.rounds(2)
+    val urls = crawl.frontier.select("url").collect().map(_.getString(0))
+    assert(urls.length == urls.distinct.length,
+      s"frontier must stay unique per url after import + rediscovery rounds " +
+      s"(dups: ${urls.diff(urls.distinct).take(5).toSeq})")
+  }
+
   test("Crawl.importArc merges an archive into the frontier and the crawl continues") {
     import spark.implicits._
     val root = tmp()
