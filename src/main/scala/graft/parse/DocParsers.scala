@@ -74,11 +74,13 @@ object DocParsers {
     case _ => BinaryDocParser
   }
 
-  /** Fetch-side dispatch: resolve the mime (header → extension → default)
-    * then parse. Mirrors ParseUtil.parse's "pick parser by content type". */
+  /** Fetch-side dispatch: resolve the mime (content magic → header →
+    * extension → default) then parse. Mirrors ParseUtil.parse's "pick
+    * parser by content type" with MimeUtil's magic precedence — a server
+    * lying in its Content-Type header does not defeat the dispatch. */
   def parseSpans(contentType: String, url: String, content: Array[Byte],
                  cfg: CrawlConfig): Seq[Span] = {
-    val mime = graft.url.Mime.resolve(contentType, url)
+    val mime = graft.url.Mime.resolveWithContent(contentType, url, content)
     forMime(mime).parse(url, content, cfg)
   }
 }

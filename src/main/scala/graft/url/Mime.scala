@@ -67,4 +67,57 @@ object Mime {
       if (u != null) u else "text/html"
     }
   }
+
+  /** Content-magic sniff (the highest-precedence resolution rung — the
+    * reference resolves from content bytes via Tika magic in
+    * util/MimeUtil.java autoResolveContentType; this is the same intent as
+    * a small static table). Returns a CONFIDENT mime from the leading
+    * bytes, else null: strong binary signatures first, then the
+    * unambiguous text openings (XML prolog, HTML doctype/root tags).
+    * Pure + static so it can run inside task closures and codegen. */
+  def sniff(content: Array[Byte]): String = {
+    if (content == null || content.length < 4) return null
+    @inline def at(i: Int): Int = content(i) & 0xff
+    def ascii(prefix: String, from: Int = 0): Boolean = {
+      if (content.length < from + prefix.length) return false
+      var i = 0
+      while (i < prefix.length) {
+        if ((content(from + i) & 0xff) != prefix.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+    if (at(0) == 0x89 && ascii("PNG", 1)) return "image/png"
+    if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) return "image/jpeg"
+    if (ascii("GIF87a") || ascii("GIF89a")) return "image/gif"
+    if (at(0) == 0x1f && at(1) == 0x8b) return "application/gzip"
+    if (ascii("%PDF")) return "application/pdf"
+    if (ascii("PK") && at(2) == 3 && at(3) == 4) return "application/zip"
+    if (ascii("RIFF") && content.length >= 12 && ascii("WEBP", 8)) return "image/webp"
+    if (ascii("WARC/")) return "application/warc"
+    if (ascii("OggS")) return "audio/ogg"
+    if (ascii("ID3") || (at(0) == 0xff && (at(1) & 0xe0) == 0xe0)) return "audio/mpeg"
+    // text sniff: skip UTF-8 BOM + leading whitespace, lowercase a short
+    // window, accept only the unambiguous openings
+    var i = if (at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf) 3 else 0
+    val end = math.min(content.length, i + 256)
+    while (i < end && (content(i) == ' ' || content(i) == '\t' ||
+      content(i) == '\r' || content(i) == '\n')) i += 1
+    val window = new String(content, i, math.min(16, content.length - i),
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(Locale.ROOT)
+    if (window.startsWith("<?xml")) return "application/xml"
+    if (window.startsWith("<!doctype html") || window.startsWith("<html") ||
+        window.startsWith("<head") || window.startsWith("<body")) return "text/html"
+    null
+  }
+
+  /** Full resolution with content in hand (the fetch/parse dispatch path):
+    * content magic WINS over a lying Content-Type header; header, extension
+    * and the text/html default follow in the usual order. A PDF served as
+    * text/html dispatches as a PDF; HTML served as text/plain parses as
+    * HTML — MimeUtil.autoResolveContentType's behavior. */
+  def resolveWithContent(contentType: String, url: String, content: Array[Byte]): String = {
+    val sniffed = sniff(content)
+    if (sniffed != null) sniffed else resolve(contentType, url)
+  }
 }
