@@ -206,6 +206,17 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
       records
     }
 
+  /** CDX index beside the WARC sink (the reference's WarcCdxWriter): per-
+    * capture lookup rows (urlkey/timestamp/url/mime/status/digest/length/
+    * offset/filename) over the round's WARC records, committed as the
+    * per-round `cdx` table. */
+  def exportCdx(roundNo: Int, nFiles: Int = 16): Option[DataFrame] =
+    exportWarc(roundNo).map { recs =>
+      val idx = graft.index.Cdx.index(recs, nFiles, s"warc-r$roundNo")
+      store.commit("cdx", idx, roundNo, allowRewind = true)
+      idx
+    }
+
   /** Export a round's index docs through external sinks (the reference's
     * IndexWriter plugins + exchange routing). */
   def exportIndexTo(roundNo: Int, exchange: graft.index.IndexWriterExchange): Boolean =

@@ -21,7 +21,8 @@ object GraftFunctions {
     "url_hash_interleave" -> ((es: Seq[Expression]) => UrlHashInterleave(es.head)),
     "url_accept" -> ((es: Seq[Expression]) => UrlAccept(es.head)),
     "text_fingerprint64" -> ((es: Seq[Expression]) => TextFingerprint64(es.head)),
-    "mime_resolve" -> ((es: Seq[Expression]) => MimeResolve(es(0), es(1)))
+    "mime_resolve" -> ((es: Seq[Expression]) => MimeResolve(es(0), es(1))),
+    "url_surt" -> ((es: Seq[Expression]) => UrlSurt(es.head))
   )
 
   /** Idempotent per-session registration. */

@@ -166,6 +166,14 @@ case class MimeResolve(left: Expression, right: Expression)
   override def prettyName: String = "mime_resolve"
 }
 
+/** SURT-form CDX urlkey (WarcCdxWriter's urlkey column). */
+case class UrlSurt(child: Expression) extends StaticStringExpr {
+  override def staticFn: String = "graft.url.Urls.surt"
+  override def eval0(s: String): String = Urls.surt(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_surt"
+}
+
 /** URL filter predicate (true = keep). */
 case class UrlAccept(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType

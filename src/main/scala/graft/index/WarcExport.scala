@@ -159,10 +159,15 @@ object WarcExport {
     * WarcWriter.writeRecord). One string per record; write with
     * `.write.text(...)` for WARC-shard files (session timezone must be UTC
     * for the WARC-Date rendering — the engine's sessions pin UTC). */
-  def toWarc(records: DataFrame): DataFrame = {
+  def toWarc(records: DataFrame): DataFrame = records.select(warcTextCol.as("value"))
+
+  /** The serialized WARC/1.1 text of one record row as a COLUMN — shared by
+    * [[toWarc]] and the CDX layout ([[Cdx]]), so the byte offsets the CDX
+    * index reports are computed over exactly the text the sink writes. */
+  def warcTextCol: Column = {
     def header(name: String, value: Column): Column =
       when(value.isNotNull, concat(lit(name + ": "), value, lit("\r\n"))).otherwise(lit(""))
-    records.select(concat(
+    concat(
       lit("WARC/1.1\r\n"),
       header("WARC-Type", col("warc_type")),
       header("WARC-Record-ID", col("record_id")),
@@ -178,7 +183,7 @@ object WarcExport {
       header("Content-Length", length(col("payload")).cast("string")),
       lit("\r\n"),
       decode(col("payload"), "UTF-8"),
-      lit("\r\n\r\n")).as("value"))
+      lit("\r\n\r\n"))
   }
 
   /** Parse serialized WARC/1.1 record text back into the record table's

@@ -282,6 +282,28 @@ object Urls {
     murmur64(data, data.length, 0x9747b28cL)
   }
 
+  /** SURT-form CDX urlkey ("Sort-friendly URI Reordering Transform" — the
+    * reference's WarcCdxWriter urlkey column,
+    * reference/src/java/org/commoncrawl/util/WarcCdxWriter.java): scheme
+    * dropped, host lowercased with a leading "www." stripped and its
+    * segments reversed comma-joined, then ")" + lowercased path, query
+    * parameters sorted — so captures of one page cluster under one key and
+    * a sorted CDX file range-scans by site. Null for unparseable URLs. */
+  def surt(url: String): String = {
+    val host0 = hostOf(url)
+    if (host0 == null) return null
+    var host = host0.toLowerCase(Locale.ROOT)
+    if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
+    val revHost = host.split('.').reverse.mkString(",")
+    val pq = pathQueryOf(url).toLowerCase(Locale.ROOT)
+    val qi = pq.indexOf('?')
+    val path = if (qi >= 0) pq.substring(0, qi) else pq
+    val query =
+      if (qi < 0 || qi == pq.length - 1) ""
+      else "?" + pq.substring(qi + 1).split('&').sorted.mkString("&")
+    revHost + ")" + (if (path.isEmpty) "/" else path) + query
+  }
+
   /** 64-bit rolling hash over characters (h = 31*h + c): the classic
     * polynomial fingerprint, one pass, allocation-free. */
   def rollingHash64(s: String): Long = {

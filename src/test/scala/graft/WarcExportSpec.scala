@@ -266,6 +266,65 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(after.frontierSize >= stats.frontierSize)
   }
 
+  test("CDX export: one row per capture, SURT urlkey, and url → CDX → WARC-record round-trip") {
+    import spark.implicits._
+    val root = tmp()
+    CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
+    val crawl = Crawl(spark, root, cfg, graft.fetch.SyntheticFetcher(web, 5))
+    val recs = crawl.exportWarc(1).get.cache()
+    val idx = crawl.exportCdx(1, nFiles = 3).get.cache()
+
+    // exactly one CDX row per response/revisit capture; no request/metadata/
+    // warcinfo rows leak into the index
+    val captures = recs.filter(col("warc_type").isin("response", "revisit"))
+    assert(idx.count() == captures.count() && idx.count() > 0)
+    // committed as the per-round cdx table
+    assert(crawl.store.loadRound(spark, "cdx", 1).get.count() == idx.count())
+
+    // fields derive from the same columns: urlkey = SURT, 14-digit timestamp,
+    // status/digest as recorded
+    val one = idx.filter(col("status") === 200).first()
+    assert(one.getAs[String]("urlkey") == graft.url.Urls.surt(one.getAs[String]("url")))
+    assert(one.getAs[String]("urlkey").matches("test,fix,host-\\d+\\)/.*"))
+    assert(one.getAs[String]("cdx_timestamp").matches("\\d{14}"))
+    assert(one.getAs[String]("digest").startsWith("md5:"))
+
+    // offset/length round-trip: slicing the shard's bytes at [offset,
+    // offset+length) yields exactly the capture's WARC record
+    val layout = graft.index.Cdx.layout(recs, 3, "warc-r1")
+    val files = graft.index.Cdx.fileContents(layout).collect()
+      .map(r => r.getString(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    idx.orderBy("urlkey").collect().take(12).foreach { r =>
+      val bytes = files(r.getAs[String]("filename"))
+      val off = r.getAs[Long]("offset").toInt
+      val len = r.getAs[Long]("length").toInt
+      val slice = new String(bytes.slice(off, off + len), "UTF-8")
+      val parsed = graft.index.WarcExport.fromWarc(Seq(slice).toDS().toDF("value")).first()
+      assert(parsed.getAs[String]("record_id") == r.getAs[String]("record_id"),
+        s"sliced record must be the indexed capture at ${r.getAs[String]("url")}")
+      assert(parsed.getAs[String]("target_uri") == r.getAs[String]("url"))
+    }
+    // the layout tiles each shard exactly: no gaps, no overlaps
+    val tiling = layout.groupBy("filename")
+      .agg(max(col("offset") + col("length")).as("end"), sum("length").as("total"))
+      .filter(col("end") =!= col("total")).count()
+    assert(tiling == 0, "per-shard offsets must tile the file exactly")
+
+    // CDX text lines render the classic field order
+    val line = graft.index.Cdx.toCdxLines(idx).first().getString(0)
+    assert(line.split(" ").length == 9, s"9 CDX fields expected: $line")
+    recs.unpersist(); idx.unpersist()
+  }
+
+  test("surt urlkey: reversed host, www strip, sorted query, lowercase") {
+    import graft.url.Urls.surt
+    assert(surt("http://www.Example.COM/Path/Page?b=2&a=1") == "com,example)/path/page?a=1&b=2")
+    assert(surt("https://a.b.example.co.uk/") == "uk,co,example,b,a)/")
+    assert(surt("http://example.com") == "com,example)/")
+    assert(surt("http://example.com/x?") == "com,example)/x")
+    assert(surt("not a url") == null)
+  }
+
   test("WarcIndexWriter writes per-round parquet records") {
     val root = tmp()
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
