@@ -48,11 +48,18 @@ object Main {
     val web = graft.fixtures.SyntheticWeb(graft.fixtures.WebConfig(
       nHosts = sys.env.getOrElse("GRAFT_WEB_HOSTS", "1000").toInt,
       pagesPerHost = sys.env.getOrElse("GRAFT_WEB_PAGES", "100").toInt))
-    val cfg = CrawlConfig(
+    val cfg0 = CrawlConfig(
       topN = args.lift(3).map(_.toLong)
         .orElse(sys.env.get("GRAFT_TOPN").map(_.toLong)).getOrElse(50000L))
-    val crawl = Crawl(spark, storeRoot, cfg,
-      graft.fetch.SyntheticFetcher(web, cfg.fetchLatencyMs))
+    // GRAFT_FETCHER=http: the real java.net.http protocol stack (politeness
+    // waits become real sleeps); default stays the deterministic fixture web
+    val (cfg, fetcher) = sys.env.getOrElse("GRAFT_FETCHER", "synthetic") match {
+      case "http" => (cfg0.copy(realClock = true),
+        graft.fetch.HttpFetcher(
+          agent = sys.env.getOrElse("GRAFT_AGENT", "graftbot/1.0 (graft crawler)")))
+      case _ => (cfg0, graft.fetch.SyntheticFetcher(web, cfg0.fetchLatencyMs))
+    }
+    val crawl = Crawl(spark, storeRoot, cfg, fetcher)
 
     verb match {
       case "inject" =>

@@ -274,6 +274,13 @@ object PolitenessExecutor {
                 case "NOTFOUND" =>
                   nGone += 1
                   pending.append(result(t, CrawlStatus.FETCH_GONE, "NOTFOUND", endTime))
+                case "GONE" => // 401/403/451 access denied (real protocol)
+                  nGone += 1
+                  pending.append(result(t, CrawlStatus.FETCH_GONE, "ACCESS_DENIED", endTime))
+                case "NOTMODIFIED" => // 304 conditional fetch (real protocol)
+                  nFetched += 1
+                  pending.append(result(t, CrawlStatus.FETCH_NOTMODIFIED, "NOTMODIFIED",
+                    endTime, resp.contentType))
                 case "MOVED" | "TEMP_MOVED" =>
                   nRedirects += 1
                   val target = graft.url.UrlFilters.canonicalizeAndFilter(resp.redirectTo)
