@@ -19,9 +19,12 @@ import graft.store.SnapshotStore
   * }}}
   */
 case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetcher: Fetcher,
-                 startTimeMs: Long = 1700000000000L, roundIntervalMs: Long = 24L * 3600 * 1000) {
+                 startTimeMs: Long = 1700000000000L, roundIntervalMs: Long = 24L * 3600 * 1000,
+                 tableStore: Option[graft.store.TableStore] = None) {
 
-  val store = new SnapshotStore(storeRoot)
+  /** Snapshot store: the parquet+manifest default, or any [[graft.store.TableStore]]
+    * (e.g. [[graft.store.IcebergStore]]) via `tableStore`. */
+  val store: graft.store.TableStore = tableStore.getOrElse(new SnapshotStore(storeRoot))
 
   def inject(seedLines: Dataset[String]): Long =
     CrawlRound.inject(spark, store, seedLines, cfg, startTimeMs)

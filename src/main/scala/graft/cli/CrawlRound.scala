@@ -10,7 +10,7 @@ import graft.frontier.{CrawlConfig, Dedup, Inject, UpdateDb}
 import graft.generate.Generator
 import graft.parse.Parse
 import graft.schema._
-import graft.store.SnapshotStore
+import graft.store.{SnapshotStore, TableStore}
 
 /** The crawl round loop (SURVEY.md §3.1): each round is an incremental batch
   * — inject (round 0) → generate → fetch → parse → updatedb → dedup — ending
@@ -42,7 +42,7 @@ object CrawlRound {
     * round N+1 on the unchanged time base. */
   def inject(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: TableStore,
       seedLines: Dataset[String],
       cfg: CrawlConfig,
       now: Long,
@@ -73,7 +73,7 @@ object CrawlRound {
     * as an `Observation`; there are NO standalone .count() passes. */
   def run(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: TableStore,
       fetcher: Fetcher,
       cfg: CrawlConfig,
       round: Int,
@@ -173,7 +173,7 @@ object CrawlRound {
     //     build-once from the frontier if absent (first round / migration).
     //     Saturated filters rebuild from the frontier at 2× capacity. ---
     var seenFromCache = false
-    val seen: Option[graft.seen.UrlSeen.SeenFilter] =
+    val seen: Option[graft.seen.UrlSeen.SeenSet] =
       if (!cfg.useSeenBloom) None
       else {
         val snap = store.current("seen_bloom")
@@ -191,7 +191,8 @@ object CrawlRound {
               case None => cfg.bloomExpectedItems
             }
             Some(graft.seen.UrlSeen.build(
-              frontier.toDF().select(col("url_hash")), cap, cfg.bloomFpp))
+              frontier.toDF().select(col("url_hash")), cap, cfg.bloomFpp,
+              shards = cfg.seenBloomShards))
         }
       }
 
@@ -248,19 +249,20 @@ object CrawlRound {
           .filter(!graft.seen.UrlSeen.mightContainCol(spark, sf, col("url_hash")))
           .select(col("url_hash"))
         val merged = graft.seen.UrlSeen.merged(spark, sf, newHashes, 0L)
-          .copy(approxInserted = math.max(sf.approxInserted, frontierSize))
+          .withApproxInserted(math.max(sf.approxInserted, frontierSize))
         // allowRewind: after an explicit frontier resetTo the replayed rounds
         // re-commit the blob at lower rounds; the bloom is a monotone
         // superset, so a rewound pointer is still correct
         val snap = store.commitBlob("seen_bloom", graft.seen.UrlSeen.toBytes(merged), round,
           allowRewind = true)
-        // broadcast lifecycle: the blob is the durable copy; the MERGED
-        // filter becomes the session cache entry (next round reuses it when
-        // the blob identity matches — no reload, no re-broadcast) and every
-        // superseded broadcast is destroyed, so a crawl session holds at
-        // most ONE live bloom broadcast per store
+        // broadcast lifecycle: the blob is the durable copy; the MERGED set
+        // becomes the session cache entry (next round reuses it when the
+        // blob identity matches — no reload, no re-broadcast) and every
+        // superseded broadcast not shared with the successor is destroyed
+        // (a sharded merge replaces ONE shard; the other k-1 are shared), so
+        // a crawl session holds at most one live set per store
         graft.seen.UrlSeen.cacheFor(store.root, snap.path, snap.committedAtMs, merged)
-        if (!seenFromCache && !(merged.bloom eq sf.bloom)) sf.destroy()
+        if (!seenFromCache) graft.seen.UrlSeen.destroyDiff(sf, merged)
       }
     }
 
@@ -324,7 +326,7 @@ object CrawlRound {
     * the round loop's first-round path); saturated filters rebuild at 2×. */
   def maintainSeenBloom(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: TableStore,
       cfg: CrawlConfig,
       round: Int,
       frontierSize: Long
@@ -343,25 +345,25 @@ object CrawlRound {
         val newHashes = frontierKeys
           .filter(!UrlSeen.mightContainCol(spark, sf, col("url_hash")))
         (UrlSeen.merged(spark, sf, newHashes, 0L)
-          .copy(approxInserted = math.max(sf.approxInserted, frontierSize)),
+          .withApproxInserted(math.max(sf.approxInserted, frontierSize)),
           if (fromCache) None else Some(sf))
       case other =>
         val cap = other.map(sf => math.max(cfg.bloomExpectedItems, sf.approxInserted * 2))
           .getOrElse(cfg.bloomExpectedItems)
-        (UrlSeen.build(frontierKeys, cap, cfg.bloomFpp)
-          .copy(approxInserted = frontierSize), other)
+        (UrlSeen.build(frontierKeys, cap, cfg.bloomFpp, shards = cfg.seenBloomShards)
+          .withApproxInserted(frontierSize), other)
     }
     val snap = store.commitBlob("seen_bloom", UrlSeen.toBytes(merged), round,
       allowRewind = true)
     UrlSeen.cacheFor(store.root, snap.path, snap.committedAtMs, merged)
-    superseded.foreach(sf => if (!(merged.bloom eq sf.bloom)) sf.destroy())
+    superseded.foreach(sf => UrlSeen.destroyDiff(sf, merged))
   }
 
   /** Resume-aware multi-round driver: continues after the last committed
     * round (checkpoint = the frontier manifest). */
   def crawl(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: TableStore,
       fetcher: Fetcher,
       cfg: CrawlConfig,
       rounds: Int,

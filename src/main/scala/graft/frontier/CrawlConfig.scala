@@ -86,5 +86,6 @@ case class CrawlConfig(
     // seen
     useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,
-    bloomFpp: Double = 0.01
+    bloomFpp: Double = 0.01,
+    seenBloomShards: Int = 1                     // >1: k-sharded filter; a round re-broadcasts ONE shard (the 10^10 path)
 )

@@ -163,7 +163,7 @@ object UpdateDb {
       linked0: Dataset[FrontierUpdate],
       cfg: CrawlConfig,
       now: Long,
-      seen: Option[graft.seen.UrlSeen.SeenFilter] = None
+      seen: Option[graft.seen.UrlSeen.SeenSet] = None
   ): Dataset[FrontierEntry] = {
     val spark = frontier.sparkSession
     import spark.implicits._
@@ -171,8 +171,8 @@ object UpdateDb {
     val (linked, directNew): (Dataset[FrontierUpdate], Option[Dataset[FrontierEntry]]) =
       seen match {
         case Some(sf) if cfg.additionsAllowed =>
-          val bloomBc = sf.bloom
-          val isSeen = (u: FrontierUpdate) => bloomBc.value.mightContainLong(Urls.hash64(u.url))
+          val seenSet = sf // the SeenSet ships in the closure (broadcast handles inside)
+          val isSeen = (u: FrontierUpdate) => seenSet.mightContain(Urls.hash64(u.url))
           val seenSide = linked0.filter(u => isSeen(u))
           val newCand = linked0.filter(u => !isSeen(u))
           val (newRows, backToJoin) =

@@ -28,7 +28,7 @@ object UpdateDbColumnar {
       linked0: Dataset[FrontierUpdate],
       cfg: CrawlConfig,
       now: Long,
-      seen: Option[graft.seen.UrlSeen.SeenFilter] = None
+      seen: Option[graft.seen.UrlSeen.SeenSet] = None
   ): Dataset[FrontierEntry] = {
     val spark = frontier.sparkSession
     import spark.implicits._

@@ -3,7 +3,7 @@ package graft.segment
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.store.SnapshotStore
+import graft.store.TableStore
 
 /** Segment inspection + merge tools (reference segment/SegmentMerger.java,
   * SegmentReader.java; CrawlDbReader's score-distribution stats).
@@ -20,7 +20,7 @@ object SegmentTools {
     * recency = (round, fetch_time if present). */
   def mergeRounds(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: TableStore,
       table: String,
       rounds: Seq[Int],
       key: String = "url",
@@ -41,13 +41,13 @@ object SegmentTools {
   }
 
   /** SegmentReader `-dump` verb: one round's rows, optionally sliced. */
-  def dump(spark: SparkSession, store: SnapshotStore, table: String, round: Int,
+  def dump(spark: SparkSession, store: TableStore, table: String, round: Int,
            sliceExpr: Option[String] = None): Option[DataFrame] =
     store.loadRound(spark, table, round)
       .map(df => sliceExpr.fold(df)(e => df.filter(expr(e))))
 
   /** SegmentReader `-get` verb: point lookup across rounds (newest first). */
-  def get(spark: SparkSession, store: SnapshotStore, table: String,
+  def get(spark: SparkSession, store: TableStore, table: String,
           rounds: Seq[Int], key: String, value: String): DataFrame = {
     val dfs = rounds.flatMap(r => store.loadRound(spark, table, r))
     require(dfs.nonEmpty, s"no $table rounds found")

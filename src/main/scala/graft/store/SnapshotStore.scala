@@ -5,38 +5,24 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Snapshot table store: parquet data + atomically-swapped JSON manifests.
+/** Snapshot table store: parquet data + atomically-swapped JSON manifests
+  * (the default [[TableStore]]).
   *
-  * Stands in for Iceberg (no Iceberg jars ship in this environment): each
-  * commit writes an immutable `r<round>` parquet directory and then renames
-  * a manifest over `_manifest.json` (ATOMIC_MOVE) — the same
+  * Each commit writes an immutable `r<round>` parquet directory and then
+  * renames a manifest over `_manifest.json` (ATOMIC_MOVE) — the same
   * temp-dir-plus-rename install discipline as the reference's CrawlDb
   * (reference/src/java/org/apache/nutch/crawl/CrawlDb.java:190-219,
   * util/FSUtils.java), upgraded with retained history: every round's
   * snapshot stays readable (time travel), and resume-from-checkpoint is
   * "read the manifest, continue from its round".
   */
-class SnapshotStore(val root: String) extends Serializable {
+class SnapshotStore(val root: String) extends TableStore {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
   private def manifestPath(table: String): Path = tableDir(table).resolve("_manifest.json")
 
-  case class Snapshot(table: String, round: Int, path: String, committedAtMs: Long)
-
-  /** Atomic commit: write parquet then swap the manifest.
-    *
-    * Rounds are MONOTONIC per table: committing at a round below the current
-    * manifest round is rejected unless `allowRewind` (history replay after an
-    * explicit `resetTo` — e.g. re-running a measured round). This guards the
-    * retained-history/time-travel contract: a stray low-round commit (the
-    * round-1 mid-crawl-inject bug class) can no longer rewind the checkpoint
-    * and overwrite historical snapshots.
-    *
-    * `tag` gives the commit a distinct data directory (`r<round>-<tag>`) so a
-    * re-commit at the SAME round (mid-crawl inject, filter passes) never
-    * overwrites — nor races with a lazy read of — the snapshot it derives from. */
-  def commit(table: String, df: DataFrame, round: Int, tag: String = "",
-             allowRewind: Boolean = false): Snapshot = {
+  override def commit(table: String, df: DataFrame, round: Int, tag: String = "",
+                      allowRewind: Boolean = false): Snapshot = {
     current(table).foreach { c =>
       require(round >= c.round || allowRewind,
         s"commit($table, round=$round) would rewind the manifest (current round ${c.round}); " +
@@ -54,8 +40,7 @@ class SnapshotStore(val root: String) extends Serializable {
     snap
   }
 
-  /** A tag not yet used for data dirs at this round (deterministic sequence). */
-  def freshTag(table: String, round: Int, prefix: String): String = {
+  override def freshTag(table: String, round: Int, prefix: String): String = {
     var i = 1
     while (Files.exists(tableDir(table).resolve(s"r$round-$prefix$i"))) i += 1
     s"$prefix$i"
@@ -64,8 +49,7 @@ class SnapshotStore(val root: String) extends Serializable {
   private def manifestJson(s: Snapshot): String =
     s"""{"table":"${s.table}","round":${s.round},"path":"${s.path}","committed_at_ms":${s.committedAtMs}}"""
 
-  /** Current snapshot of a table, if any. */
-  def current(table: String): Option[Snapshot] = {
+  override def current(table: String): Option[Snapshot] = {
     val p = manifestPath(table)
     if (!Files.exists(p)) return None
     val txt = Files.readString(p)
@@ -77,21 +61,12 @@ class SnapshotStore(val root: String) extends Serializable {
     Some(Snapshot(field("table"), field("round").toInt, field("path"), field("committed_at_ms").toLong))
   }
 
-  def load(spark: SparkSession, table: String): Option[DataFrame] =
-    current(table).map(s => spark.read.parquet(s.path))
-
-  /** Read a specific historical round (time travel). */
-  def loadRound(spark: SparkSession, table: String, round: Int): Option[DataFrame] = {
+  override def loadRound(spark: SparkSession, table: String, round: Int): Option[DataFrame] = {
     val p = tableDir(table).resolve(s"r$round")
     if (Files.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** Last committed round of the frontier = the resume checkpoint. */
-  def lastCompletedRound: Option[Int] = current("frontier").map(_.round)
-
-  /** Point the manifest back at an existing historical round (time travel as
-    * state reset — the snapshot data is immutable, only the pointer moves). */
-  def resetTo(table: String, round: Int): Unit = {
+  override def resetTo(table: String, round: Int): Unit = {
     val dataPath = tableDir(table).resolve(s"r$round")
     require(Files.exists(dataPath), s"no snapshot $table/r$round")
     val snap = Snapshot(table, round, dataPath.toString, System.currentTimeMillis())
@@ -101,11 +76,8 @@ class SnapshotStore(val root: String) extends Serializable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Commit an opaque binary artifact (e.g. the URL-seen bloom filter) under
-    * the same manifest discipline: immutable per-round file + atomic pointer
-    * swap. Rounds are monotonic like data commits. */
-  def commitBlob(table: String, bytes: Array[Byte], round: Int,
-                 allowRewind: Boolean = false): Snapshot = {
+  override def commitBlob(table: String, bytes: Array[Byte], round: Int,
+                          allowRewind: Boolean = false): Snapshot = {
     current(table).foreach(c => require(round >= c.round || allowRewind,
       s"commitBlob($table, round=$round) would rewind (current ${c.round})"))
     Files.createDirectories(tableDir(table))
@@ -122,14 +94,10 @@ class SnapshotStore(val root: String) extends Serializable {
     snap
   }
 
-  def loadBlob(table: String): Option[Array[Byte]] =
-    current(table).map(s => Files.readAllBytes(Paths.get(s.path)))
-
-  /** Append-only metrics table (one parquet dir per round+stage). */
-  def appendMetrics(df: DataFrame, round: Int, stage: String): Unit =
+  override def appendMetrics(df: DataFrame, round: Int, stage: String): Unit =
     df.write.mode("overwrite").parquet(tableDir("round_metrics").resolve(s"r$round-$stage").toString)
 
-  def metrics(spark: SparkSession): Option[DataFrame] = {
+  override def metrics(spark: SparkSession): Option[DataFrame] = {
     val dir = tableDir("round_metrics")
     if (Files.exists(dir)) Some(spark.read.parquet(dir.toString + "/r*")) else None
   }

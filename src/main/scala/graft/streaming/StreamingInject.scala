@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.cli.CrawlRound
 import graft.frontier.CrawlConfig
-import graft.store.SnapshotStore
+import graft.store.{SnapshotStore, TableStore}
 
 /** Streaming seed ingestion: watch a directory of seed-list files and merge
   * each micro-batch into the frontier through the same Inject cogroup the
@@ -22,7 +22,7 @@ object StreamingInject {
   /** Start (or one-shot with Trigger.AvailableNow) the seed watcher. */
   def start(
       spark: SparkSession,
-      store: SnapshotStore,
+      store: TableStore,
       seedDir: String,
       cfg: CrawlConfig,
       now: Long,

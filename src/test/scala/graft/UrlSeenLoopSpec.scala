@@ -64,6 +64,7 @@ class UrlSeenLoopSpec extends AnyFunSuite with SparkSpecBase {
     val root = tmp()
     val (store, stats) = CrawlRound.syntheticCrawl(spark, web, c, rounds = 3, root)
     val sf = UrlSeen.fromBytes(spark, store.loadBlob("seen_bloom").get)
+      .asInstanceOf[UrlSeen.SeenFilter]
     // rebuild happened: capacity grew beyond the configured 64
     assert(sf.expectedItems > 64, s"expected rebuild, capacity=${sf.expectedItems}")
     // and the frontier still matches the bloom-off crawl
@@ -77,8 +78,10 @@ class UrlSeenLoopSpec extends AnyFunSuite with SparkSpecBase {
   test("merged() never mutates the live broadcast; superseded filters are destroyable") {
     import spark.implicits._
     val sf = UrlSeen.build((1L to 100L).toDF("url_hash"), 2048, 0.01)
+      .asInstanceOf[UrlSeen.SeenFilter]
     val oldBloom = sf.bloom
     val merged = UrlSeen.merged(spark, sf, (5001L to 5100L).toDF("url_hash"), 100L)
+      .asInstanceOf[UrlSeen.SeenFilter]
     // the NEW filter sees both generations; the OLD broadcast value is untouched
     assert((1L to 100L).forall(merged.mightContain))
     assert((5001L to 5100L).forall(merged.mightContain))
@@ -149,11 +152,67 @@ class UrlSeenLoopSpec extends AnyFunSuite with SparkSpecBase {
       s"graft_seen_mc_* registry entries must not accumulate: $fnsAfter2 after r2, ${seenFns()} after r6")
   }
 
+  test("sharded bloom ≡ single bloom ≡ bloom off: identical frontier after 3 rounds") {
+    val sharded = frontierRows(tmp(), baseCfg.copy(seenBloomShards = 4))
+    val single = frontierRows(tmp(), baseCfg.copy(seenBloomShards = 1))
+    val off = frontierRows(tmp(), baseCfg.copy(useSeenBloom = false))
+    assert(sharded.keySet == off.keySet, {
+      val d1 = sharded.keySet -- off.keySet; val d2 = off.keySet -- sharded.keySet
+      s"url sets differ; sharded-only=${d1.take(5)} off-only=${d2.take(5)}"
+    })
+    for ((u, row) <- sharded) assert(row == off(u), s"row mismatch vs off for $u")
+    assert(sharded == single, "sharded and single filters must be indistinguishable")
+  }
+
+  test("sharded delta merge replaces exactly ONE shard's broadcast (1/k re-broadcast)") {
+    import spark.implicits._
+    val built = UrlSeen.build((1L to 4000L).toDF("url_hash"), 1L << 14, 0.01,
+      approxInserted = 4000, shards = 4).asInstanceOf[UrlSeen.ShardedSeenFilter]
+    assert(built.shards.length == 4)
+    assert((1L to 4000L).forall(built.mightContain), "hash-spread build must cover the corpus")
+    val before = built.broadcasts
+    val merged = UrlSeen.merged(spark, built, (900001L to 900100L).toDF("url_hash"), 100L)
+      .asInstanceOf[UrlSeen.ShardedSeenFilter]
+    val after = merged.broadcasts
+    val replaced = after.count(b => !before.exists(_ eq b))
+    assert(replaced == 1,
+      s"a steady-state delta must re-broadcast exactly one shard, replaced $replaced/4")
+    assert((1L to 4000L).forall(merged.mightContain))
+    assert((900001L to 900100L).forall(merged.mightContain))
+    // destroyDiff keeps the 3 shared shards alive, kills only the replaced one
+    UrlSeen.destroyDiff(built, merged)
+    assert((1L to 4000L).forall(merged.mightContain), "shared shards must survive destroyDiff")
+    // the blob envelope round-trips the sharded form
+    val back = UrlSeen.fromBytes(spark, UrlSeen.toBytes(merged))
+      .asInstanceOf[UrlSeen.ShardedSeenFilter]
+    assert(back.shards.length == 4 && back.perShardCap == merged.perShardCap)
+    assert((1L to 4000L).forall(back.mightContain) && (900001L to 900100L).forall(back.mightContain))
+  }
+
+  test("round loop with sharded bloom re-broadcasts at most one shard per steady round") {
+    val root = tmp()
+    val cfg = baseCfg.copy(seenBloomShards = 4)
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 2, root)
+    def cachedShards(): Seq[AnyRef] = {
+      val s = store.current("seen_bloom").get
+      UrlSeen.cachedFor(root, s.path, s.committedAtMs).get
+        .asInstanceOf[UrlSeen.ShardedSeenFilter].broadcasts
+    }
+    val before = cachedShards()
+    val fetcher = graft.fetch.SyntheticFetcher(web, 10)
+    CrawlRound.crawl(spark, store, fetcher, cfg, 1, 1700000000000L)
+    val after = cachedShards()
+    val shared = after.count(b => before.exists(_ eq b))
+    assert(shared >= before.length - 1,
+      s"steady-state round must reuse ≥ k-1 shard broadcasts (shared $shared/${before.length})")
+  }
+
   test("seen filter round-trips through the blob envelope") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("url_hash")
     val sf = UrlSeen.build(df, 2048, 0.01, approxInserted = 1000)
     val back = UrlSeen.fromBytes(spark, UrlSeen.toBytes(sf))
+      .asInstanceOf[UrlSeen.SeenFilter]
     assert(back.expectedItems == 2048 && back.fpp == 0.01 && back.approxInserted == 1000)
     assert((1L to 1000L).forall(back.mightContain))
     val misses = (100001L to 101000L).count(back.mightContain)
