@@ -370,6 +370,75 @@ object SparkEntry {
                        - CAST('9223372036854775808' AS HUGEINT))
            AS BIGINT) AS fp64
          FROM documents""",
+    // first-principles mirror of the flagship crawl round over the 6-host/
+    // 10-page fixture web (entry()). The VALUES tables are the FIXTURE's
+    // inputs, tabulated by graft.tools.OracleGen (robots policy per host,
+    // homepage span lists — pure functions of the fixture config, like
+    // q_parse_html's generated pages); every ENGINE semantic is derived here
+    // in SQL: homepages always fetch, robots unavailable ⇒ retry (stays
+    // db_unfetched=1), denied/delay-too-long ⇒ db_gone=3, success ⇒
+    // db_fetched=2; OPIC credit = src_score(1.0)/n_all per LINK span (media
+    // spans count in n_all but their .png targets are filter-dropped;
+    // self-links dropped from credits but count in n_all), summed as DOUBLE
+    // then cast REAL (Parse.linkedUpdates credit cast), added to the base
+    // score in float (UpdateDbColumnar newScore); discovered targets enter
+    // as db_unfetched with score = credit. Float-exact vs the engine.
+    "q_crawl_round" ->
+      """WITH pages(url, host, outcome) AS (VALUES
+           ('http://host-000.fix.test/','host-000.fix.test','success'),
+           ('http://host-001.fix.test/','host-001.fix.test','success'),
+           ('http://host-002.fix.test/','host-002.fix.test','success'),
+           ('http://host-003.fix.test/','host-003.fix.test','retry'),
+           ('http://host-004.fix.test/','host-004.fix.test','success'),
+           ('http://host-005.fix.test/','host-005.fix.test','success')),
+         counts(from_url, n_all) AS (VALUES
+           ('http://host-000.fix.test/',4),
+           ('http://host-001.fix.test/',8),
+           ('http://host-002.fix.test/',9),
+           ('http://host-004.fix.test/',8),
+           ('http://host-005.fix.test/',9)),
+         links(from_url, to_url) AS (VALUES
+           ('http://host-000.fix.test/','http://host-000.fix.test/page-53'),
+           ('http://host-001.fix.test/','http://host-001.fix.test/page-5'),
+           ('http://host-001.fix.test/','http://host-005.fix.test/'),
+           ('http://host-001.fix.test/','http://host-005.fix.test/page-8'),
+           ('http://host-001.fix.test/','http://host-001.fix.test/page-9'),
+           ('http://host-001.fix.test/','http://host-003.fix.test/page-6'),
+           ('http://host-002.fix.test/','http://host-002.fix.test/page-9'),
+           ('http://host-002.fix.test/','http://host-002.fix.test/page-3'),
+           ('http://host-002.fix.test/','http://host-002.fix.test/page-5'),
+           ('http://host-002.fix.test/','http://host-005.fix.test/page-7'),
+           ('http://host-002.fix.test/','http://host-003.fix.test/'),
+           ('http://host-002.fix.test/','http://host-002.fix.test/page-7'),
+           ('http://host-002.fix.test/','http://host-002.fix.test/page-9'),
+           ('http://host-002.fix.test/','http://host-002.fix.test/'),
+           ('http://host-004.fix.test/','http://host-004.fix.test/page-8'),
+           ('http://host-004.fix.test/','http://host-004.fix.test/page-1'),
+           ('http://host-004.fix.test/','http://host-005.fix.test/page-5'),
+           ('http://host-004.fix.test/','http://host-001.fix.test/page-2'),
+           ('http://host-004.fix.test/','http://host-004.fix.test/page-8'),
+           ('http://host-005.fix.test/','http://host-000.fix.test/page-76'),
+           ('http://host-005.fix.test/','http://host-002.fix.test/'),
+           ('http://host-005.fix.test/','http://host-005.fix.test/page-9'),
+           ('http://host-005.fix.test/','http://host-005.fix.test/page-9'),
+           ('http://host-005.fix.test/','http://host-005.fix.test/page-2'),
+           ('http://host-005.fix.test/','http://host-001.fix.test/page-2')),
+         credits AS (
+           SELECT to_url, CAST(sum(CAST(1.0 AS DOUBLE) / n_all) AS REAL) AS credit
+           FROM links JOIN counts USING (from_url)
+           WHERE to_url <> from_url
+           GROUP BY to_url),
+         seeds AS (
+           SELECT p.url, p.host,
+                  CASE p.outcome WHEN 'success' THEN 2 WHEN 'gone' THEN 3 ELSE 1 END AS status,
+                  CAST(CAST(1.0 AS REAL) + coalesce(c.credit, CAST(0.0 AS REAL)) AS REAL) AS score
+           FROM pages p LEFT JOIN credits c ON c.to_url = p.url),
+         discovered AS (
+           SELECT c.to_url AS url, regexp_extract(c.to_url, '://([^/]+)', 1) AS host,
+                  1 AS status, c.credit AS score
+           FROM credits c WHERE c.to_url NOT IN (SELECT url FROM pages))
+         SELECT url, host, status, score FROM seeds
+         UNION ALL SELECT url, host, status, score FROM discovered""",
     // the deterministic fake decode kernel is pure arithmetic over the utf-8
     // bytes (rolling checksum, format = checksum%3, geometry = floorMod of
     // checksum / its >>16 arithmetic shift) — all exactly mirrorable; the
