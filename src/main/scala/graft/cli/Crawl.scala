@@ -145,14 +145,36 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     * db_unfetched, and the crawl continues from there). Commits
     * fetched/parsed segments plus the merged frontier at the next round. */
   def importArc(containers: Dataset[String]): CrawlRound.RoundStats = {
+    val roundNo = lastRound + 1
+    val skippedAcc = spark.sparkContext.longAccumulator(s"arc_skipped_bytes_r$roundNo")
+    importFetchedRound(roundNo,
+      graft.index.ArcImport.toFetched(containers, cfg, roundNo, Some(skippedAcc)),
+      Some(skippedAcc))
+  }
+
+  /** Import serialized WARC/1.1 record text (the engine's own sink format,
+    * or any 1.1 archive matching it) as a crawl round: 200-status response
+    * records re-enter as fetched pages through the mime registry, their
+    * outlinks merge into the frontier — the WARC sibling of [[importArc]]. */
+  def importWarc(warcText: Dataset[String]): CrawlRound.RoundStats = {
+    val roundNo = lastRound + 1
+    importFetchedRound(roundNo,
+      graft.index.WarcImport.toFetched(warcText, cfg, roundNo), None)
+  }
+
+  /** Shared archive-import flow (ArcSegmentCreator + updatedb as one round):
+    * commit fetched/parsed segments, merge pages + outlinks into the
+    * frontier, maintain the URL-seen bloom, surface skipped-byte lineage. */
+  private def importFetchedRound(
+      roundNo: Int,
+      pages0: Dataset[graft.fetch.FetchedPage],
+      skippedAcc: Option[org.apache.spark.util.LongAccumulator]
+  ): CrawlRound.RoundStats = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val t0 = System.nanoTime()
-    val roundNo = lastRound + 1
     val now = startTimeMs + (roundNo - 1).toLong * roundIntervalMs
-    val skippedAcc = spark.sparkContext.longAccumulator(s"arc_skipped_bytes_r$roundNo")
-    val pages = graft.index.ArcImport.toFetched(containers, cfg, roundNo, Some(skippedAcc))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pages = pages0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.functions.GraftFunctions.register(spark)
     // imported-page count rides the fetched commit as an Observation, like
     // every other count in the engine — no standalone count() job
@@ -186,11 +208,10 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     CrawlRound.maintainSeenBloom(spark, store, cfg, roundNo, frontierSize)
     // surface abandoned container bytes (malformed/truncated ARC tails) in
     // the lineage instead of dropping them silently
-    if (skippedAcc.value > 0) {
-      import spark.implicits._
+    skippedAcc.filter(_.value > 0).foreach { acc =>
       store.appendMetrics(spark.createDataset(Seq(
         graft.schema.RoundMetric(roundNo, "arc_skipped_bytes", -1,
-          skippedAcc.value, 0, 0, 0, 0, 0))).toDF(), roundNo, "arc_import")
+          acc.value, 0, 0, 0, 0, 0))).toDF(), roundNo, "arc_import")
     }
     pages.unpersist()
     CrawlRound.RoundStats(roundNo, 0, obsFetch.get("fetched").asInstanceOf[Long], 0,

@@ -216,6 +216,56 @@ object WarcExport {
   }
 }
 
+/** WARC response records → the engine's fetched pages: the INGESTION
+  * direction (re-entering an archive as a crawl round, the WARC sibling of
+  * ArcImport — reference tools.arc generalized to its own output format).
+  * Parses serialized WARC/1.1 text with [[WarcExport.fromWarc]], keeps the
+  * 200-status `response` records, splits each HTTP payload at the first
+  * blank line into headers + body, resolves the Content-Type header, and
+  * dispatches the body through the mime registry — identical downstream
+  * shape to a live fetch. Partition-local; no shuffle. */
+object WarcImport {
+  import org.apache.spark.sql.Dataset
+  import graft.fetch.FetchedPage
+  import graft.frontier.CrawlConfig
+  import graft.schema.CrawlStatus
+  import graft.url.{UrlFilters, Urls}
+
+  private val CtRe = "(?im)^content-type:\\s*(.+?)\\s*$".r
+  private val StatusRe = "^HTTP/\\d\\.\\d\\s+(\\d{3})".r
+
+  def toFetched(warcText: Dataset[String], cfg: CrawlConfig, round: Int): Dataset[FetchedPage] = {
+    val spark = warcText.sparkSession
+    import spark.implicits._
+    val signer: graft.frontier.Signer =
+      if (cfg.signer == "md5") graft.frontier.Md5Signer else graft.frontier.TextProfileSigner()
+    val records = WarcExport.fromWarc(warcText.toDF())
+      .filter(org.apache.spark.sql.functions.col("warc_type") === "response")
+      .select("target_uri", "date", "payload")
+    records.as[(String, Long, Array[Byte])].flatMap { case (uri, dateMs, payload) =>
+      val url = UrlFilters.canonicalizeAndFilter(uri)
+      if (url == null || payload == null) Iterator.empty
+      else {
+        val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+        val cut = text.indexOf("\r\n\r\n")
+        val (head, body) =
+          if (cut >= 0) (text.substring(0, cut), text.substring(cut + 4)) else (text, "")
+        val status = StatusRe.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(200)
+        if (status != 200) Iterator.empty // only successful captures re-enter
+        else {
+          val ct = CtRe.findFirstMatchIn(head).map(_.group(1)).orNull
+          val bodyBytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val spans = graft.parse.DocParsers.parseSpans(ct, url, bodyBytes, cfg)
+          val host = Urls.hostOf(url)
+          Iterator(FetchedPage(url, Urls.hash64(url), host, CrawlStatus.FETCH_SUCCESS,
+            "SUCCESS", dateMs, ct, signer.signSpans(spans), null,
+            0, cfg.fetchIntervalDefault, 1.0f, round, spans))
+        }
+      }
+    }
+  }
+}
+
 /** WARC-record sink behind the IndexWriter plugin point: exports the round's
   * docs joined back to their WARC shape. Expects the record table from
   * [[WarcExport.records]] (use via Crawl.exportWarc). */

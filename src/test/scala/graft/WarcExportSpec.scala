@@ -266,6 +266,45 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(after.frontierSize >= stats.frontierSize)
   }
 
+  test("importWarc: WARC response records re-enter as a crawl round (ingestion direction)") {
+    import spark.implicits._
+    def warcRec(wtype: String, url: String, httpPayload: String): String = {
+      val p = httpPayload
+      s"WARC/1.1\r\nWARC-Type: $wtype\r\nWARC-Record-ID: <urn:uuid:t-$wtype-${url.hashCode}>\r\n" +
+      s"WARC-Date: 2023-11-14T22:13:20Z\r\nWARC-Target-URI: $url\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${p.getBytes("UTF-8").length}\r\n\r\n$p\r\n\r\n"
+    }
+    val okUrl = web.pageUrl(1, 3)
+    val target = web.pageUrl(1, 4)
+    val records = Seq(
+      warcRec("response", okUrl,
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        s"""<html><body>archived <a href="$target">next</a></body></html>"""),
+      warcRec("response", "http://arc.fix.test/gone",
+        "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"), // non-200: skipped
+      warcRec("request", okUrl, "GET / HTTP/1.1\r\nHost: x\r\n\r\n")  // non-response: skipped
+    )
+    val root = tmp()
+    val crawl = Crawl(spark, root, cfg, graft.fetch.SyntheticFetcher(web, 5))
+    crawl.inject(web.seedUrls.toDS())
+    val stats = crawl.importWarc(records.toDS())
+    assert(stats.fetchedPages == 1, "only the 200 response record re-enters")
+    val rows = crawl.frontier.collect().map(r =>
+      r.getAs[String]("url") -> r.getAs[Byte]("status")).toMap
+    assert(rows(okUrl) == graft.schema.CrawlStatus.DB_FETCHED)
+    assert(rows(target) == graft.schema.CrawlStatus.DB_UNFETCHED,
+      "the archived page's outlink must merge into the frontier")
+    assert(!rows.contains("http://arc.fix.test/gone"))
+    // spans parsed through the real HTML path, fetch time from WARC-Date
+    val page = crawl.parsed(stats.round).get.filter(
+      org.apache.spark.sql.functions.col("doc_id") === okUrl)
+      .selectExpr("explode(spans) as s").select("s.kind", "s.text", "s.media_ref")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(page == Seq(("text", "archived", null), ("link", "next", target)))
+    assert(crawl.fetched(stats.round).get.first().getAs[Long]("fetch_time") == 1700000000000L)
+  }
+
   test("CDX export: one row per capture, SURT urlkey, and url → CDX → WARC-record round-trip") {
     import spark.implicits._
     val root = tmp()
