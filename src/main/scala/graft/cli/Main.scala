@@ -14,6 +14,8 @@ import graft.frontier.CrawlConfig
   * spark-submit --class graft.cli.Main graft.jar topn    <store> <n>
   * spark-submit --class graft.cli.Main graft.jar throughput <store>
   * spark-submit --class graft.cli.Main graft.jar warc    <store> <round>
+  * spark-submit --class graft.cli.Main graft.jar cdx     <store> <round>
+  * spark-submit --class graft.cli.Main graft.jar importarc <store> <arcPath>
   * spark-submit --class graft.cli.Main graft.jar sitemaps <store>
   * }}}
   *
@@ -78,6 +80,16 @@ object Main {
       case "warc" =>
         val n = crawl.exportWarc(arg2("round").toInt).map(_.count()).getOrElse(0L)
         println(s"warc records: $n")
+      case "cdx" =>
+        val n = crawl.exportCdx(arg2("round").toInt).map(_.count()).getOrElse(0L)
+        println(s"cdx rows: $n")
+      case "importarc" =>
+        // one ARC container per FILE (byte framing happens on the content)
+        import spark.implicits._
+        val containers = spark.read.option("wholetext", "true")
+          .text(arg2("arcPath")).as[String]
+        val s = crawl.importArc(containers)
+        println(s"imported: fetched=${s.fetchedPages} frontier=${s.frontierSize}")
       case "sitemaps" =>
         println(s"frontier size after sitemap inject: ${crawl.processSitemaps()}")
       case other =>
@@ -88,5 +100,5 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      "usage: graft.cli.Main <inject|crawl|stats|topn|throughput|warc|sitemaps> <store> [args]")
+      "usage: graft.cli.Main <inject|crawl|stats|topn|throughput|warc|cdx|importarc|sitemaps> <store> [args]")
 }
