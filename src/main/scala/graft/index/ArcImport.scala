@@ -1,5 +1,6 @@
 package graft.index
 
+import java.io.ByteArrayInputStream
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -79,6 +80,20 @@ object ArcImport {
   def parseArc(container: String): Seq[ArcRecord] =
     parseArc(container.getBytes(StandardCharsets.UTF_8)).records
 
+  /** Transparent gunzip: real-world `.arc.gz` containers are concatenated
+    * per-record gzip members (ArcRecordReader scans for the gzip magic,
+    * reference tools/arc/ArcRecordReader.java:62-71); GZIPInputStream reads
+    * multi-member streams natively, yielding the plain concatenated
+    * container this parser frames byte-exactly. Non-gzip bytes pass
+    * through untouched. */
+  def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+    if (bytes != null && bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      val in = new java.util.zip.GZIPInputStream(
+        new ByteArrayInputStream(bytes))
+      try in.readAllBytes() finally in.close()
+    } else bytes
+
   /** ARC containers (raw bytes each — e.g. `spark.read.format("binaryFile")`
     * content) → the engine's fetched-page rows: normalize + filter the URL,
     * dispatch the payload through the mime registry for spans, sign the
@@ -94,7 +109,7 @@ object ArcImport {
     val signer: graft.frontier.Signer =
       if (cfg.signer == "md5") graft.frontier.Md5Signer else graft.frontier.TextProfileSigner()
     containers.flatMap { bytes =>
-      val parsed = parseArc(bytes)
+      val parsed = parseArc(gunzipIfNeeded(bytes))
       if (parsed.skippedBytes > 0) skippedBytesAcc.foreach(_.add(parsed.skippedBytes))
       parsed.records.iterator.flatMap { r =>
         val url = UrlFilters.canonicalizeAndFilter(r.url)

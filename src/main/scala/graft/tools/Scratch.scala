@@ -1,39 +1,56 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Scratch driver for ad-hoc verification runs (see .claude/skills/verify). */
+/** Working verification driver (edited per change under test). Currently:
+  * plan audits of the round-4 paths — the CDX layout window and the
+  * sharded bloom probe — plus the UrlSeen cache behavior smoke. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
+    val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", "/dev/shm/graft-scratch-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
 
-    // bloom session-cache evidence: consecutive rounds at ~1M-URL scale.
-    // Round 1 builds + broadcasts the filter; rounds 2-3 must reuse the
-    // cached broadcast (seen_bloom stage pays only the delta merge).
-    val web = graft.fixtures.SyntheticWeb(
-      graft.fixtures.WebConfig(nHosts = 3000, pagesPerHost = 350, hotFactor = 25))
-    val cfg = graft.frontier.CrawlConfig(topN = 200000, maxPerHost = 200,
-      numFetchPartitions = 8, serverDelayMs = 5000, fetchLatencyMs = 50)
-    val root = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "graft-bloomcache").toString
-    val store = new graft.store.SnapshotStore(root)
-    import spark.implicits._
-    graft.cli.CrawlRound.inject(spark, store, web.urls(spark), cfg, 1700000000000L)
-    val fetcher = graft.fetch.SyntheticFetcher(web, cfg.fetchLatencyMs)
-    val hits0 = graft.seen.UrlSeen.cacheHits.get()
-    val stats = graft.cli.CrawlRound.crawl(spark, store, fetcher, cfg, 3, 1700000000000L)
-    stats.foreach(s => println(
-      s"round ${s.round}: wall=${s.wallMs}ms seen_bloom=${s.stageMs.getOrElse("seen_bloom", -1L)}ms " +
-      s"fetched=${s.fetchedPages} frontier=${s.frontierSize}"))
-    println(s"cacheHits: ${graft.seen.UrlSeen.cacheHits.get() - hits0} (expect 2)")
+    // --- CDX layout plan: expect ONE shuffle (by cdx_file) for the window ---
+    val web = graft.fixtures.SyntheticWeb(graft.fixtures.WebConfig(nHosts = 6, pagesPerHost = 10))
+    val cfg = graft.frontier.CrawlConfig(topN = 200, maxPerHost = 50, numFetchPartitions = 2,
+      serverDelayMs = 200, fetchLatencyMs = 5)
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    val (store, _) = graft.cli.CrawlRound.syntheticCrawl(spark, web, cfg, 1, root)
+    val fetched = store.loadRound(spark, "fetched", 1).get
+    val recs = graft.index.WarcExport.records(fetched, None, 1)
+    val layout = graft.index.Cdx.layout(recs, 4, "warc-r1")
+    println("=== Cdx.layout plan ===")
+    layout.explain("formatted")
+    println("exchanges in CDX layout plan: " +
+      layout.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange")))
+
+    // --- sharded probe plan: expect the Or-chain probe INSIDE codegen ---
+    val sharded = graft.seen.UrlSeen.build((1L to 10000L).toDF("url_hash"), 1 << 14, 0.01,
+      10000, shards = 4)
+    val single = graft.seen.UrlSeen.build((1L to 10000L).toDF("url_hash"), 1 << 14, 0.01, 10000)
+    val src = spark.range(1, 100001).select(col("id").as("url_hash"))
+    val probe = src
+      .filter(!graft.seen.UrlSeen.mightContainCol(spark, sharded, col("url_hash")))
+    val probeSingle = src
+      .filter(!graft.seen.UrlSeen.mightContainCol(spark, single, col("url_hash")))
+    println("single probe Filter inside WholeStageCodegen: " + probeSingle.queryExecution
+      .executedPlan.toString.linesIterator.exists(l => l.contains("*") && l.contains("Filter")))
+    println("=== sharded probe plan ===")
+    probe.explain("formatted")
+    val plan = probe.queryExecution.executedPlan.toString
+    // codegen markers: compact plan trees prefix codegen'd nodes with '*'
+    println("probe Filter inside WholeStageCodegen: " + plan.linesIterator
+      .exists(l => l.trim.matches("^[+:>-]*\\s*\\*.*Filter.*")))
+    println("probe rows (definitely-new of 100k vs 10k seen): " + probe.count())
+
     spark.stop()
   }
 }

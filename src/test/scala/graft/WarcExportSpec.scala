@@ -208,6 +208,30 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(pt.skippedBytes > 0, "malformed tail must be accounted as skipped bytes")
   }
 
+  test("gzipped ARC containers (per-record members) import transparently") {
+    import spark.implicits._
+    def rec(url: String, mime: String, payload: String): String =
+      s"$url 10.0.0.1 20231114221320 $mime ${payload.getBytes("UTF-8").length}\n$payload\n\n"
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    // real .arc.gz layout: one gzip MEMBER per record, concatenated
+    val members = gz(rec("filedesc://archive.arc", "text/plain", "1 0 IA")) ++
+      gz(rec("http://gz.fix.test/a.html", "text/html", "<body>first café</body>")) ++
+      gz(rec("http://gz.fix.test/b.txt", "text/plain", "second"))
+    val pages = graft.index.ArcImport
+      .toFetchedBytes(Seq(members).toDS(), CrawlConfig(), round = 3).collect()
+    assert(pages.map(_.url).toSeq ==
+      Seq("http://gz.fix.test/a.html", "http://gz.fix.test/b.txt"),
+      s"multi-member gzip container must frame all records: ${pages.map(_.url).toSeq}")
+    assert(pages.head.spans == Seq(graft.schema.Span("text", "first café", null, 0)))
+    // plain containers still pass through untouched
+    val plain = graft.index.ArcImport.gunzipIfNeeded("not gzip".getBytes("UTF-8"))
+    assert(new String(plain, "UTF-8") == "not gzip")
+  }
+
   test("importArc maintains the URL-seen bloom (superset invariant, no duplicate rows)") {
     import spark.implicits._
     val root = tmp()
