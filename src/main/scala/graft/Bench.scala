@@ -73,7 +73,10 @@ object Bench {
     // over the identical reset snapshot (steal-burst immunity).
     val web = SyntheticWeb(WebConfig(nHosts = 3000, pagesPerHost = 350, hotFactor = 25))
     val cfg = CrawlConfig(topN = 800000, maxPerHost = 500,
-      numFetchPartitions = cpus, serverDelayMs = 5000, fetchLatencyMs = 50)
+      numFetchPartitions = cpus, serverDelayMs = 5000, fetchLatencyMs = 50,
+      // GRAFT_SEEN_SHARDS>1 measures the sharded URL-seen path (one-shard
+      // re-broadcast per round) on the loaded round
+      seenBloomShards = sys.env.get("GRAFT_SEEN_SHARDS").map(_.toInt).getOrElse(1))
     val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
     val store = new graft.store.SnapshotStore(root)
     val startTime = 1700000000000L
