@@ -93,12 +93,15 @@ case class HttpFetcher(
         case _ => ProtocolResponse("RETRY", null, null, contentType, latency) // 429/5xx/1xx/…
       }
     } catch {
-      case _: java.io.IOException => ProtocolResponse("RETRY", null, null, null, latency)
       case _: InterruptedException =>
         Thread.currentThread().interrupt()
         ProtocolResponse("RETRY", null, null, null, latency)
       case _: IllegalArgumentException => // unparseable URI: permanently bad
         ProtocolResponse("NOTFOUND", null, null, null, latency)
+      case scala.util.control.NonFatal(_) => // IO/TLS/DNS/protocol errors:
+        // one bad URL must never fail a million-row fetch task (the
+        // reference maps any protocol exception to a retry status)
+        ProtocolResponse("RETRY", null, null, null, latency)
     }
   }
 
@@ -118,9 +121,8 @@ case class HttpFetcher(
         case _ => None // 5xx etc: robots unreachable → defer visits
       }
     } catch {
-      case _: java.io.IOException => None
       case _: InterruptedException => Thread.currentThread().interrupt(); None
-      case _: IllegalArgumentException => None
+      case scala.util.control.NonFatal(_) => None // unreachable robots → defer
     }
   }
 

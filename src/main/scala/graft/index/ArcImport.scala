@@ -109,7 +109,13 @@ object ArcImport {
     val signer: graft.frontier.Signer =
       if (cfg.signer == "md5") graft.frontier.Md5Signer else graft.frontier.TextProfileSigner()
     containers.flatMap { bytes =>
-      val parsed = parseArc(gunzipIfNeeded(bytes))
+      // a corrupt gzip container must not fail the whole import task: it
+      // contributes zero records and its full byte count to the skip lineage
+      val inflated =
+        try gunzipIfNeeded(bytes)
+        catch { case _: java.io.IOException =>
+          skippedBytesAcc.foreach(_.add(bytes.length.toLong)); Array.emptyByteArray }
+      val parsed = parseArc(inflated)
       if (parsed.skippedBytes > 0) skippedBytesAcc.foreach(_.add(parsed.skippedBytes))
       parsed.records.iterator.flatMap { r =>
         val url = UrlFilters.canonicalizeAndFilter(r.url)

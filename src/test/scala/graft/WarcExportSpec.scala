@@ -230,6 +230,13 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     // plain containers still pass through untouched
     val plain = graft.index.ArcImport.gunzipIfNeeded("not gzip".getBytes("UTF-8"))
     assert(new String(plain, "UTF-8") == "not gzip")
+    // a CORRUPT gzip container yields zero records + its bytes in the skip
+    // lineage — it must not fail the import task
+    val corrupt: Array[Byte] = Array(0x1f.toByte, 0x8b.toByte, 9, 9, 9, 9, 9, 9)
+    val acc = spark.sparkContext.longAccumulator("corrupt-gz")
+    val none = graft.index.ArcImport
+      .toFetchedBytes(Seq(corrupt).toDS(), CrawlConfig(), 3, Some(acc)).collect()
+    assert(none.isEmpty && acc.value == corrupt.length.toLong)
   }
 
   test("importArc maintains the URL-seen bloom (superset invariant, no duplicate rows)") {
