@@ -271,6 +271,31 @@ object PolitenessExecutor {
                     else resp.doc.spans
                   pending.append(result(t, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
                     resp.contentType, signer.signSpans(spans), null, spans))
+                  // in-task outlink follow (fetcher.follow.outlinks.depth,
+                  // reference Fetcher.java outlink queuing): the page's first
+                  // N link targets enqueue into their host queues — politeness
+                  // applies — up to `followOutlinksDepth` levels; external
+                  // hosts skipped unless configured. The hop counter is
+                  // shared with redirect-follow (combined in-task depth).
+                  if (cfg.followOutlinksDepth > 0 && hop < cfg.followOutlinksDepth) {
+                    var followedHere = 0
+                    val linkIt = spans.iterator.filter(_.kind == "link")
+                    while (followedHere < cfg.followOutlinksNumLinks && linkIt.hasNext) {
+                      val target = graft.url.UrlFilters.canonicalizeAndFilter(linkIt.next().media_ref)
+                      if (target != null && target != t.url) {
+                        val th = Urls.hostOf(target)
+                        if (th != null &&
+                            (!cfg.followOutlinksIgnoreExternal || th == t.host) &&
+                            followed.add(target)) {
+                          followedHere += 1
+                          val nt = FetchTask(target, Urls.hash64(target), th,
+                            Urls.registeredDomainOf(th), CrawlStatus.DB_UNFETCHED,
+                            endTime, 0, cfg.fetchIntervalDefault, t.score, t.segment)
+                          enqueue(queues.getOrElseUpdate(th, new HostQueue(th)), (nt, hop + 1))
+                        }
+                      }
+                    }
+                  }
                 case "NOTFOUND" =>
                   nGone += 1
                   pending.append(result(t, CrawlStatus.FETCH_GONE, "NOTFOUND", endTime))

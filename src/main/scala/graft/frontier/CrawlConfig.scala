@@ -68,6 +68,10 @@ case class CrawlConfig(
     queueDepth: Int = 50,                        // fetcher.queue.depth.multiplier
     redirectMax: Int = 0,                        // http.redirect.max (reference default 0 = record redirect,
                                                  // fetch target next round; >0 = follow in-task up to N hops)
+    followOutlinksDepth: Int = 0,                // fetcher.follow.outlinks.depth (0 = off, the reference default;
+                                                 // >0 = fetch discovered outlinks in-task up to N levels deep)
+    followOutlinksNumLinks: Int = 8,             // fetcher.follow.outlinks.num.links (per page)
+    followOutlinksIgnoreExternal: Boolean = true,// fetcher.follow.outlinks.ignore.external
     maxExceptionsPerQueue: Int = 10,             // fetcher.max.exceptions.per.queue
     exceptionBackoffMaxMs: Long = 300000,        // cap for the per-queue exponential exception backoff
     fetchLatencyMs: Long = 50,                   // synthetic per-request serve time

@@ -176,7 +176,7 @@ object UpdateDb {
           val seenSide = linked0.filter(u => isSeen(u))
           val newCand = linked0.filter(u => !isSeen(u))
           val (newRows, backToJoin) =
-            if (cfg.redirectMax > 0) {
+            if (cfg.redirectMax > 0 || cfg.followOutlinksDepth > 0) {
               val fUrls = fetched.toDF().select(org.apache.spark.sql.functions.col("url"))
               (newCand.toDF().join(fUrls, Seq("url"), "left_anti").as[FrontierUpdate],
                newCand.toDF().join(fUrls, Seq("url"), "left_semi").as[FrontierUpdate])

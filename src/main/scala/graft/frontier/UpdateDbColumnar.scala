@@ -55,7 +55,7 @@ object UpdateDbColumnar {
           val seenSide = withHash.filter(mightContain)
           val newCand = withHash.filter(!mightContain)
           val (newRows, backToJoin) =
-            if (cfg.redirectMax > 0) {
+            if (cfg.redirectMax > 0 || cfg.followOutlinksDepth > 0) {
               val fUrls = fetched.toDF().select(col("url"))
               (newCand.join(fUrls, Seq("url"), "left_anti"),
                newCand.join(fUrls, Seq("url"), "left_semi"))
@@ -91,10 +91,12 @@ object UpdateDbColumnar {
       col("url").as("f_url"), col("status").as("f_status"),
       col("fetch_time").as("f_time"), col("signature").as("f_sig"),
       col("repr_url").as("f_repr"), col("metadata").as("f_meta"))
-    // the join assumes ONE fetch row per URL; with in-task redirect follow
-    // two partitions can fetch the same target — dedup latest-wins with the
-    // same deterministic (time, status, score) order as the typed merge
-    val f = if (cfg.redirectMax <= 0) f0
+    // the join assumes ONE fetch row per URL; with in-task redirect OR
+    // outlink follow the same URL can be fetched twice (two partitions
+    // follow to one target, or a followed target was also generated) —
+    // dedup latest-wins with the same deterministic (time, status, score)
+    // order as the typed merge
+    val f = if (cfg.redirectMax <= 0 && cfg.followOutlinksDepth <= 0) f0
       else {
         val f0s = fetched.toDF().select(
           col("url").as("f_url"), col("status").as("f_status"),

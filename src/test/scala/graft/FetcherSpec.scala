@@ -42,6 +42,44 @@ class FetcherSpec extends AnyFunSuite {
     (out, ms.toSeq)
   }
 
+  test("in-task outlink follow: same-host links fetched to depth, politeness kept") {
+    def page(url: String, links: Seq[String]) = ProtocolResponse("SUCCESS", null,
+      Doc(url, links.zipWithIndex.map { case (l, i) => Span("link", "t", l, i) }),
+      "text/html", 10)
+    val A = "http://f.fix.test/a"; val B = "http://f.fix.test/b"
+    val C = "http://x.fix.test/c" // external
+    val D = "http://f.fix.test/d"; val E = "http://f.fix.test/e"
+    val behaviors = Map(A -> page(A, Seq(B, C)), B -> page(B, Seq(D)), D -> page(D, Seq(E)))
+
+    // depth 2: A → B → D; E is one level too deep, C is external (default skip)
+    val c2 = cfg.copy(followOutlinksDepth = 2)
+    val (out, _) = run(Seq(task(A)), ScriptedFetcher(behaviors, Map.empty), c2)
+    assert(out.map(_.url).toSet == Set(A, B, D),
+      s"depth 2 must fetch A→B→D, not E (too deep) or C (external): ${out.map(_.url)}")
+    // politeness still applies to followed fetches (all same host)
+    val times = out.map(_.fetch_time).sorted
+    times.zip(times.tail).foreach { case (x, y) =>
+      assert(y - x >= cfg.serverDelayMs, s"followed fetch gap ${y - x} < delay") }
+
+    // depth 0 (reference default): nothing followed
+    val (out0, _) = run(Seq(task(A)), ScriptedFetcher(behaviors, Map.empty), cfg)
+    assert(out0.map(_.url) == Seq(A))
+
+    // external follow is opt-in
+    val cx = cfg.copy(followOutlinksDepth = 1, followOutlinksIgnoreExternal = false)
+    val (outx, _) = run(Seq(task(A)), ScriptedFetcher(behaviors, Map.empty), cx)
+    assert(outx.map(_.url).toSet == Set(A, B, C))
+
+    // per-page link budget (follow.outlinks.num.links)
+    val wide = "http://f.fix.test/wide"
+    val targets = (1 to 5).map(i => s"http://f.fix.test/w$i")
+    val cw = cfg.copy(followOutlinksDepth = 1, followOutlinksNumLinks = 2)
+    val (outw, _) = run(Seq(task(wide)),
+      ScriptedFetcher(Map(wide -> page(wide, targets)), Map.empty), cw)
+    assert(outw.map(_.url).toSet == Set(wide, targets(0), targets(1)),
+      s"only the first 2 links follow: ${outw.map(_.url)}")
+  }
+
   test("per-host gap ≥ crawl delay (politeness budget)") {
     val tasks = (1 to 8).map(i => task(s"http://a.fix.test/p$i")) ++
       (1 to 8).map(i => task(s"http://b.fix.test/p$i"))

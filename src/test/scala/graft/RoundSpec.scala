@@ -110,6 +110,25 @@ class RoundSpec extends AnyFunSuite with SparkSpecBase {
     assert(fb.exceptAll(fa).count() == 0)
   }
 
+  test("outlink-follow depth integrates with the round loop (unique keys, legal statuses)") {
+    val c = cfg.copy(followOutlinksDepth = 1, topN = 100)
+    val (st, stats) = CrawlRound.syntheticCrawl(spark, web, c, rounds = 2, tmp())
+    // round 1 fetches the seeds PLUS their followed same-host outlinks
+    assert(stats.head.fetchedPages > web.cfg.nHosts,
+      s"depth 1 must fetch beyond the ${web.cfg.nHosts} seeds: ${stats.head.fetchedPages}")
+    val frontier = st.load(spark, "frontier").get
+    val urls = frontier.select("url").collect().map(_.getString(0))
+    assert(urls.length == urls.distinct.length, "frontier keys stay unique with follow on")
+    val statuses = frontier.select("status").distinct().collect().map(_.getByte(0)).toSet
+    assert(statuses.forall(CrawlStatus.hasDbStatus), s"db statuses only, got $statuses")
+    // followed pages really entered the frontier as fetched state
+    import org.apache.spark.sql.functions.col
+    val fetchedStates = frontier.filter(col("status").isin(
+      CrawlStatus.DB_FETCHED.toInt, CrawlStatus.DB_NOTMODIFIED.toInt,
+      CrawlStatus.DB_DUPLICATE.toInt)).count()
+    assert(fetchedStates > web.cfg.nHosts, "followed fetches must persist in the frontier")
+  }
+
   test("per-partition lineage metrics recorded for the fetch stage") {
     val m = store.metrics(spark).get.filter(col("stage") === "fetch")
     assert(m.count() > 0)
