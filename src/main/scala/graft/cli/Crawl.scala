@@ -152,6 +152,18 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
       Some(skippedAcc))
   }
 
+  /** Binary ARC import — the path for real container files (gzipped or with
+    * non-UTF-8 payload bytes): feed `spark.read.format("binaryFile")`
+    * content directly, so framing happens on the original bytes (a text
+    * read would replace invalid UTF-8 and shift the byte frames). */
+  def importArcBytes(containers: Dataset[Array[Byte]]): CrawlRound.RoundStats = {
+    val roundNo = lastRound + 1
+    val skippedAcc = spark.sparkContext.longAccumulator(s"arc_skipped_bytes_r$roundNo")
+    importFetchedRound(roundNo,
+      graft.index.ArcImport.toFetchedBytes(containers, cfg, roundNo, Some(skippedAcc)),
+      Some(skippedAcc))
+  }
+
   /** Import serialized WARC/1.1 record text (the engine's own sink format,
     * or any 1.1 archive matching it) as a crawl round: 200-status response
     * records re-enter as fetched pages through the mime registry, their

@@ -350,8 +350,11 @@ object CrawlRound {
       case other =>
         val cap = other.map(sf => math.max(cfg.bloomExpectedItems, sf.approxInserted * 2))
           .getOrElse(cfg.bloomExpectedItems)
+        // a cache-origin saturated filter is destroyed by cacheFor's
+        // displacement below — passing it as superseded too would
+        // double-destroy the same broadcasts (SparkException)
         (UrlSeen.build(frontierKeys, cap, cfg.bloomFpp, shards = cfg.seenBloomShards)
-          .withApproxInserted(frontierSize), other)
+          .withApproxInserted(frontierSize), if (fromCache) None else other)
     }
     val snap = store.commitBlob("seen_bloom", UrlSeen.toBytes(merged), round,
       allowRewind = true)

@@ -84,11 +84,12 @@ object Main {
         val n = crawl.exportCdx(arg2("round").toInt).map(_.count()).getOrElse(0L)
         println(s"cdx rows: $n")
       case "importarc" =>
-        // one ARC container per FILE (byte framing happens on the content)
+        // one ARC container per FILE, read as RAW BYTES (a text read would
+        // replace invalid UTF-8 and corrupt gzip magic / byte frames)
         import spark.implicits._
-        val containers = spark.read.option("wholetext", "true")
-          .text(arg2("arcPath")).as[String]
-        val s = crawl.importArc(containers)
+        val containers = spark.read.format("binaryFile").load(arg2("arcPath"))
+          .select("content").as[Array[Byte]]
+        val s = crawl.importArcBytes(containers)
         println(s"imported: fetched=${s.fetchedPages} frontier=${s.frontierSize}")
       case "sitemaps" =>
         println(s"frontier size after sitemap inject: ${crawl.processSitemaps()}")

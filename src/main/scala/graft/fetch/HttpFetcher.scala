@@ -74,9 +74,12 @@ case class HttpFetcher(
       val resp = client.send(request(url), HttpResponse.BodyHandlers.ofByteArray())
       val code = resp.statusCode()
       val contentType = resp.headers().firstValue("Content-Type").orElse(null)
+      // a malformed Location (unencoded spaces etc.) must degrade to a
+      // recorded-but-unfollowable redirect, not a permanent NOTFOUND
       def location: String =
-        resp.headers().firstValue("Location")
-          .map(l => URI.create(url).resolve(l).toString).orElse(null)
+        try resp.headers().firstValue("Location")
+          .map(l => URI.create(url).resolve(l.trim).toString).orElse(null)
+        catch { case _: IllegalArgumentException => null }
       code match {
         case c if c >= 200 && c < 300 =>
           val body = resp.body()
@@ -112,14 +115,27 @@ case class HttpFetcher(
 
   override def robotsRules(host: String): Option[Robots.RobotRules] = {
     try {
-      val resp = client.send(request(robotsUrl(host)),
-        HttpResponse.BodyHandlers.ofString())
-      resp.statusCode() match {
-        case c if c >= 200 && c < 300 => Some(Robots.parse(resp.body(), agentToken))
-        case 404 | 410 => Some(Robots.AllowAll)
-        case 401 | 403 => Some(if (http403AllowsAll) Robots.AllowAll else Robots.DenyAll)
-        case _ => None // 5xx etc: robots unreachable → defer visits
+      // robots.txt FOLLOWS redirects (up to 3 hops — the http→https bounce
+      // is the common case; crawler-commons does the same): a host whose
+      // robots 301s to https must not be deferred forever
+      var url = robotsUrl(host)
+      var hops = 0
+      while (hops <= 3) {
+        val resp = client.send(request(url), HttpResponse.BodyHandlers.ofString())
+        resp.statusCode() match {
+          case c if c >= 200 && c < 300 => return Some(Robots.parse(resp.body(), agentToken))
+          case 404 | 410 => return Some(Robots.AllowAll)
+          case 401 | 403 =>
+            return Some(if (http403AllowsAll) Robots.AllowAll else Robots.DenyAll)
+          case c if c >= 300 && c < 400 =>
+            val loc = resp.headers().firstValue("Location").orElse(null)
+            if (loc == null) return None
+            url = URI.create(url).resolve(loc.trim).toString
+            hops += 1
+          case _ => return None // 5xx etc: robots unreachable → defer visits
+        }
       }
+      None // redirect loop: unreachable → defer
     } catch {
       case _: InterruptedException => Thread.currentThread().interrupt(); None
       case scala.util.control.NonFatal(_) => None // unreachable robots → defer

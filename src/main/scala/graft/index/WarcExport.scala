@@ -247,10 +247,18 @@ object WarcImport {
       if (url == null || payload == null) Iterator.empty
       else {
         val text = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
-        val cut = text.indexOf("\r\n\r\n")
+        // payloads WITHOUT a reconstructed HTTP message (producers that
+        // store bare document bodies) import whole — splitting at the first
+        // blank line of a bare body would silently discard its prefix
+        val isHttp = text.startsWith("HTTP/")
+        val cut = if (isHttp) text.indexOf("\r\n\r\n") else -1
         val (head, body) =
-          if (cut >= 0) (text.substring(0, cut), text.substring(cut + 4)) else (text, "")
-        val status = StatusRe.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(200)
+          if (cut >= 0) (text.substring(0, cut), text.substring(cut + 4))
+          else if (isHttp) (text, "")
+          else ("", text)
+        val status =
+          if (!isHttp) 200
+          else StatusRe.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(200)
         if (status != 200) Iterator.empty // only successful captures re-enter
         else {
           val ct = CtRe.findFirstMatchIn(head).map(_.group(1)).orNull

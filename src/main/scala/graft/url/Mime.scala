@@ -96,16 +96,28 @@ object Mime {
     if (ascii("RIFF") && content.length >= 12 && ascii("WEBP", 8)) return "image/webp"
     if (ascii("WARC/")) return "application/warc"
     if (ascii("OggS")) return "audio/ogg"
-    if (ascii("ID3") || (at(0) == 0xff && (at(1) & 0xe0) == 0xe0)) return "audio/mpeg"
+    if (ascii("ID3")) return "audio/mpeg"
+    // a bare MPEG frame-sync word (FF Ex) is NOT sniffed: it collides with
+    // the UTF-16LE BOM (FF FE) and random binary — too weak for a rung
+    // that overrides an explicit header. UTF-16 text is likewise left to
+    // the header (content sniffing here is byte-oriented).
+    if ((at(0) == 0xff && at(1) == 0xfe) || (at(0) == 0xfe && at(1) == 0xff)) return null
     // text sniff: skip UTF-8 BOM + leading whitespace, lowercase a short
     // window, accept only the unambiguous openings
     var i = if (at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf) 3 else 0
     val end = math.min(content.length, i + 256)
     while (i < end && (content(i) == ' ' || content(i) == '\t' ||
       content(i) == '\r' || content(i) == '\n')) i += 1
-    val window = new String(content, i, math.min(16, content.length - i),
+    val window = new String(content, i, math.min(256, content.length - i),
       java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(Locale.ROOT)
-    if (window.startsWith("<?xml")) return "application/xml"
+    if (window.startsWith("<?xml")) {
+      // XML prolog alone is ambiguous: XHTML and SVG open with it too, and
+      // demoting them to the generic XML parser would drop their outlinks
+      if (window.contains("<html") || window.contains("doctype html"))
+        return "application/xhtml+xml"
+      if (window.contains("<svg")) return "image/svg+xml"
+      return "application/xml"
+    }
     if (window.startsWith("<!doctype html") || window.startsWith("<html") ||
         window.startsWith("<head") || window.startsWith("<body")) return "text/html"
     null

@@ -65,6 +65,7 @@ class HttpFetcherSpec extends AnyFunSuite with SparkSpecBase with BeforeAndAfter
         case "/denied"    => respond(ex, 403)
         case "/throttle"  => respond(ex, 429, "slow down", "text/plain")
         case "/lyingpdf"  => respond(ex, 200, "%PDF-1.4 not actually html", "text/html")
+        case "/badloc"    => respond(ex, 302, headers = Map("Location" -> "/search?q=foo bar"))
         case _            => respond(ex, 404)
       }
     })
@@ -101,6 +102,27 @@ class HttpFetcherSpec extends AnyFunSuite with SparkSpecBase with BeforeAndAfter
     // connection refused (no listener) → transient RETRY
     val dead = HttpFetcher(connectTimeoutMs = 500).fetch("http://127.0.0.1:1/x")
     assert(dead.code == "RETRY")
+    // malformed Location (unencoded space) degrades to a recorded redirect
+    // with a null target — never a permanent NOTFOUND
+    val bad = f.fetch(url("/badloc"))
+    assert(bad.code == "TEMP_MOVED" && bad.redirectTo == null, s"$bad")
+  }
+
+  test("robots.txt follows redirects (the http→https bounce must not defer forever)") {
+    val target = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    target.createContext("/", (ex: HttpExchange) =>
+      respond(ex, 200, "User-agent: *\nDisallow: /secret/\n", "text/plain"))
+    target.start()
+    val front = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    front.createContext("/", (ex: HttpExchange) => respond(ex, 301, headers =
+      Map("Location" -> s"http://127.0.0.1:${target.getAddress.getPort}/robots.txt")))
+    front.start()
+    try {
+      val rules = HttpFetcher(robotsPortOverride = front.getAddress.getPort)
+        .robotsRules("127.0.0.1")
+      assert(rules.isDefined, "redirected robots must resolve, not defer")
+      assert(!rules.get.isAllowed("/secret/x") && rules.get.isAllowed("/ok"))
+    } finally { front.stop(0); target.stop(0) }
   }
 
   test("content truncation guard cuts oversized bodies without dropping the fetch") {

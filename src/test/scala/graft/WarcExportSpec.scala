@@ -334,6 +334,40 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
     assert(page == Seq(("text", "archived", null), ("link", "next", target)))
     assert(crawl.fetched(stats.round).get.first().getAs[Long]("fetch_time") == 1700000000000L)
+
+    // bare-body payloads (producers that store content without an HTTP
+    // wrapper) import WHOLE — nothing is discarded as fake headers
+    val bareUrl = web.pageUrl(2, 3)
+    val bare = warcRec("response", bareUrl,
+      "first line of a bare body\r\n\r\nsecond part after a blank line")
+    val stats2 = crawl.importWarc(Seq(bare).toDS())
+    assert(stats2.fetchedPages == 1)
+    val bareText = crawl.parsed(stats2.round).get
+      .selectExpr("explode(spans) as s").select("s.text").first().getString(0)
+    assert(bareText.contains("first line") && bareText.contains("second part"),
+      s"bare body must import whole: $bareText")
+  }
+
+  test("importArc with a SATURATED session-cached bloom rebuilds without double-destroy") {
+    import spark.implicits._
+    // capacity 32 << frontier: the bloom saturates during the crawl and the
+    // import's maintenance path must rebuild (not crash on a destroyed
+    // broadcast) — regression for the cacheFor/superseded double-destroy
+    val root = tmp()
+    val cfgS = cfg.copy(useSeenBloom = true, bloomExpectedItems = 32)
+    val crawl = Crawl(spark, root, cfgS, graft.fetch.SyntheticFetcher(web, 5))
+    crawl.inject(web.seedUrls.toDS())
+    crawl.round() // bloom committed; approxInserted > 32 ⇒ saturated in cache
+    def rec(url: String, payload: String): String =
+      s"$url 10.0.0.1 20231114221320 text/html ${payload.getBytes("UTF-8").length}\n$payload\n\n"
+    val stats = crawl.importArc(Seq(rec(web.pageUrl(3, 1),
+      "<html><body>ok</body></html>")).toDS()) // must not throw
+    assert(stats.fetchedPages == 1)
+    val sf = graft.seen.UrlSeen.fromBytes(spark, crawl.store.loadBlob("seen_bloom").get)
+    val hashes = crawl.frontier.select("url_hash").collect().map(_.getLong(0))
+    assert(hashes.forall(sf.mightContain), "rebuilt bloom must cover the frontier")
+    // and the NEXT regular round still runs cleanly on the rebuilt cache
+    assert(crawl.round().frontierSize > 0)
   }
 
   test("CDX export: one row per capture, SURT urlkey, and url → CDX → WARC-record round-trip") {
