@@ -20,6 +20,20 @@ import graft.queries.Relational
   */
 object SparkEntry {
 
+  // one static JVM hook draining a queue of entry() temp dirs — repeated
+  // entry() calls in a session must not accumulate shutdown hooks
+  private val entryTempDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val entryCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      entryTempDirs.forEach { rootPath =>
+        try Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
+        catch { case _: Exception => () }
+      }
+    }))
+
   /** Flagship: a full synthetic crawl round (generate → politeness fetch →
     * parse → updatedb state machine) returning the round-1 frontier. */
   def entry(spark: SparkSession): DataFrame = {
@@ -29,13 +43,8 @@ object SparkEntry {
     val rootPath = java.nio.file.Files.createTempDirectory("graft-entry")
     // the returned DataFrame is lazy (the caller scans it after we return),
     // so clean up at JVM exit, not here
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file._
-      import java.util.Comparator
-      try Files.walk(rootPath).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => { try Files.deleteIfExists(p) catch { case _: Exception => () } })
-      catch { case _: Exception => () }
-    }))
+    entryCleanupHook
+    entryTempDirs.add(rootPath)
     val root = rootPath.toString
     val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, root)
     store.load(spark, "frontier").get

@@ -67,11 +67,28 @@ case class HttpFetcher(
       .header("Accept", "*/*")
       .GET().build()
 
+  /** Read at most `limit` bytes, then stop — the caller closes the stream,
+    * aborting the rest of the exchange. The reference enforces
+    * http.content.limit while streaming (Http.java truncated reads); a
+    * ofByteArray() handler would buffer a multi-GB response fully in
+    * executor memory before any truncation could apply. */
+  private def readLimited(in: java.io.InputStream, limit: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(limit, 64 * 1024))
+    val buf = new Array[Byte](16 * 1024)
+    var remaining = limit
+    var n = 0
+    while (remaining > 0 && { n = in.read(buf, 0, math.min(buf.length, remaining)); n >= 0 }) {
+      out.write(buf, 0, n)
+      remaining -= n
+    }
+    out.toByteArray
+  }
+
   override def fetch(url: String): ProtocolResponse = {
     val t0 = System.nanoTime()
     def latency: Long = (System.nanoTime() - t0) / 1000000
     try {
-      val resp = client.send(request(url), HttpResponse.BodyHandlers.ofByteArray())
+      val resp = client.send(request(url), HttpResponse.BodyHandlers.ofInputStream())
       val code = resp.statusCode()
       val contentType = resp.headers().firstValue("Content-Type").orElse(null)
       // a malformed Location (unencoded spaces etc.) must degrade to a
@@ -80,20 +97,24 @@ case class HttpFetcher(
         try resp.headers().firstValue("Location")
           .map(l => URI.create(url).resolve(l.trim).toString).orElse(null)
         catch { case _: IllegalArgumentException => null }
-      code match {
-        case c if c >= 200 && c < 300 =>
-          val body = resp.body()
-          // truncation guard (http.content.limit): oversized bodies are cut,
-          // not dropped — the parse still sees the prefix
-          val content = if (body.length > maxContentBytes)
-            java.util.Arrays.copyOf(body, maxContentBytes) else body
-          ProtocolResponse("SUCCESS", null, null, contentType, latency, content)
-        case 301 | 308 => ProtocolResponse("MOVED", location, null, contentType, latency)
-        case 302 | 303 | 307 => ProtocolResponse("TEMP_MOVED", location, null, contentType, latency)
-        case 304 => ProtocolResponse("NOTMODIFIED", null, null, contentType, latency)
-        case 404 | 410 => ProtocolResponse("NOTFOUND", null, null, contentType, latency)
-        case 401 | 403 | 451 => ProtocolResponse("GONE", null, null, contentType, latency)
-        case _ => ProtocolResponse("RETRY", null, null, contentType, latency) // 429/5xx/1xx/…
+      val in = resp.body()
+      try {
+        code match {
+          case c if c >= 200 && c < 300 =>
+            // truncation guard (http.content.limit): oversized bodies are
+            // cut AT the limit while streaming — closing the stream below
+            // aborts the remainder without ever buffering it
+            val content = readLimited(in, maxContentBytes)
+            ProtocolResponse("SUCCESS", null, null, contentType, latency, content)
+          case 301 | 308 => ProtocolResponse("MOVED", location, null, contentType, latency)
+          case 302 | 303 | 307 => ProtocolResponse("TEMP_MOVED", location, null, contentType, latency)
+          case 304 => ProtocolResponse("NOTMODIFIED", null, null, contentType, latency)
+          case 404 | 410 => ProtocolResponse("NOTFOUND", null, null, contentType, latency)
+          case 401 | 403 | 451 => ProtocolResponse("GONE", null, null, contentType, latency)
+          case _ => ProtocolResponse("RETRY", null, null, contentType, latency) // 429/5xx/1xx/…
+        }
+      } finally {
+        try in.close() catch { case _: Exception => () }
       }
     } catch {
       case _: InterruptedException =>

@@ -25,8 +25,15 @@ object GraftFunctions {
     "url_surt" -> ((es: Seq[Expression]) => UrlSurt(es.head))
   )
 
-  /** Idempotent per-session registration. */
+  // sessions already registered — createOrReplaceTempFunction WARNs on every
+  // replace, so a per-query register() call must be a no-op after the first
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotent per-session registration (no registry WARN spam on repeats). */
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")

@@ -62,8 +62,12 @@ object Cdx {
     * `.write.text(...)` after an `orderBy(urlkey, cdx_timestamp)` for the
     * sorted master index. */
   def toCdxLines(idx: DataFrame): DataFrame =
+    // concat_ws silently DROPS nulls — a null urlkey (unparseable
+    // target_uri) would shift every following field left; render "-" instead
     idx.select(concat_ws(" ",
-      col("urlkey"), col("cdx_timestamp"), col("url"), col("mime"),
+      coalesce(col("urlkey"), lit("-")),
+      coalesce(col("cdx_timestamp"), lit("-")),
+      col("url"), col("mime"),
       coalesce(col("status").cast("string"), lit("-")),
       coalesce(col("digest"), lit("-")),
       col("length"), col("offset"), col("filename")).as("value"))

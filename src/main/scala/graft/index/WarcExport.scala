@@ -232,7 +232,8 @@ object WarcImport {
   import graft.url.{UrlFilters, Urls}
 
   private val CtRe = "(?im)^content-type:\\s*(.+?)\\s*$".r
-  private val StatusRe = "^HTTP/\\d\\.\\d\\s+(\\d{3})".r
+  // HTTP/1.x "HTTP/1.1 200 OK" and HTTP/2-style "HTTP/2 200" status lines
+  private val StatusRe = "^HTTP/\\S+\\s+(\\d{3})".r
 
   def toFetched(warcText: Dataset[String], cfg: CrawlConfig, round: Int): Dataset[FetchedPage] = {
     val spark = warcText.sparkSession
@@ -256,10 +257,12 @@ object WarcImport {
           if (cut >= 0) (text.substring(0, cut), text.substring(cut + 4))
           else if (isHttp) (text, "")
           else ("", text)
+        // unparseable status line on an HTTP payload ⇒ skip the record
+        // (defaulting to 200 would import 404/500 bodies as FETCH_SUCCESS)
         val status =
-          if (!isHttp) 200
-          else StatusRe.findFirstMatchIn(head).map(_.group(1).toInt).getOrElse(200)
-        if (status != 200) Iterator.empty // only successful captures re-enter
+          if (!isHttp) Some(200)
+          else StatusRe.findFirstMatchIn(head).map(_.group(1).toInt)
+        if (!status.contains(200)) Iterator.empty // only successful captures re-enter
         else {
           val ct = CtRe.findFirstMatchIn(head).map(_.group(1)).orNull
           val bodyBytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)

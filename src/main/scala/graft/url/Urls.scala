@@ -216,6 +216,22 @@ object Urls {
     * into one "domain"). */
   def registeredDomainOf(host: String): String = PublicSuffix.registeredDomainOf(host)
 
+  /** Explicit port in a URL's authority, or -1 when absent/unparseable. */
+  def portOf(url: String): Int = {
+    if (url == null) return -1
+    val i = url.indexOf("://")
+    if (i < 0) return -1
+    var rest = url.substring(i + 3)
+    val end = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (end >= 0) rest = rest.substring(0, end)
+    val at = rest.lastIndexOf('@')
+    if (at >= 0) rest = rest.substring(at + 1)
+    val colon = rest.lastIndexOf(':')
+    if (colon < 0 || rest.indexOf(']') >= colon) return -1
+    val p = rest.substring(colon + 1)
+    if (p.nonEmpty && p.length <= 5 && p.forall(_.isDigit)) p.toInt else -1
+  }
+
   /** Path + query of a URL ("/" if none) — the portion robots.txt rules
     * match against (crawler-commons matches path+query too). */
   def pathQueryOf(url: String): String = {
@@ -294,7 +310,15 @@ object Urls {
     if (host0 == null) return null
     var host = host0.toLowerCase(Locale.ROOT)
     if (host.startsWith("www.") && host.length > 4) host = host.substring(4)
-    val revHost = host.split('.').reverse.mkString(",")
+    // non-default ports stay in the urlkey (reference SURT keeps them):
+    // host:8080 and host must not collide under one CDX key
+    val scheme = url.substring(0, url.indexOf("://")).toLowerCase(Locale.ROOT)
+    val defaultPort = scheme match {
+      case "http" => 80; case "https" => 443; case "ftp" => 21; case _ => -1
+    }
+    val port = portOf(url)
+    val portSuffix = if (port > 0 && port != defaultPort) ":" + port else ""
+    val revHost = host.split('.').reverse.mkString(",") + portSuffix
     val pq = pathQueryOf(url).toLowerCase(Locale.ROOT)
     val qi = pq.indexOf('?')
     val path = if (qi >= 0) pq.substring(0, qi) else pq

@@ -346,6 +346,23 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
       .selectExpr("explode(spans) as s").select("s.text").first().getString(0)
     assert(bareText.contains("first line") && bareText.contains("second part"),
       s"bare body must import whole: $bareText")
+
+    // HTTP/2-style status lines parse ("HTTP/2 200", no minor version);
+    // HTTP payloads whose status line cannot be parsed are SKIPPED, not
+    // imported as fake successes
+    val h2Url = web.pageUrl(3, 3)
+    val h2 = warcRec("response", h2Url,
+      "HTTP/2 200\r\nContent-Type: text/html\r\n\r\n<html><body>h2 page</body></html>")
+    val mangled = warcRec("response", "http://arc.fix.test/mangled",
+      "HTTP/mangled status line\r\n\r\nnot a real capture")
+    val h2NotFound = warcRec("response", "http://arc.fix.test/h2gone",
+      "HTTP/2 404\r\nContent-Type: text/html\r\n\r\ngone")
+    val stats3 = crawl.importWarc(Seq(h2, mangled, h2NotFound).toDS())
+    assert(stats3.fetchedPages == 1, "only the HTTP/2 200 record re-enters")
+    val rows3 = crawl.frontier.collect().map(r => r.getAs[String]("url")).toSet
+    assert(rows3.contains(h2Url))
+    assert(!rows3.contains("http://arc.fix.test/mangled"))
+    assert(!rows3.contains("http://arc.fix.test/h2gone"))
   }
 
   test("importArc with a SATURATED session-cached bloom rebuilds without double-destroy") {
@@ -427,6 +444,13 @@ class WarcExportSpec extends AnyFunSuite with SparkSpecBase {
     assert(surt("http://example.com") == "com,example)/")
     assert(surt("http://example.com/x?") == "com,example)/x")
     assert(surt("not a url") == null)
+    // non-default ports stay in the urlkey; default ports are dropped
+    assert(surt("http://example.com:8080/a") == "com,example:8080)/a")
+    assert(surt("http://example.com:80/a") == "com,example)/a")
+    assert(surt("https://example.com:443/a") == "com,example)/a")
+    assert(surt("https://example.com:80/a") == "com,example:80)/a")
+    assert(graft.url.Urls.portOf("http://example.com:8080/a") == 8080)
+    assert(graft.url.Urls.portOf("http://example.com/a") == -1)
   }
 
   test("WarcIndexWriter writes per-round parquet records") {
