@@ -448,6 +448,13 @@ object SparkEntry {
            FROM credits c WHERE c.to_url NOT IN (SELECT url FROM pages))
          SELECT url, host, status, score FROM seeds
          UNION ALL SELECT url, host, status, score FROM discovered""",
+    // the four xxhash64-based operators, mirrored from first principles via
+    // the staged DuckDB xxh64 re-derivation in queries/HashOracles (macro
+    // prelude + single-op CTE stages; bit-exact vs Spark's XxHash64)
+    "q_minhash_lsh" -> graft.queries.HashOracles.minhashLshSql,
+    "q_simhash_pairs" -> graft.queries.HashOracles.simhashPairsSql,
+    "q_ann_lsh_topk" -> graft.queries.HashOracles.annLshTopKSql,
+    "q_ann_ivf_topk" -> graft.queries.HashOracles.annIvfTopKSql,
     // the deterministic fake decode kernel is pure arithmetic over the utf-8
     // bytes (rolling checksum, format = checksum%3, geometry = floorMod of
     // checksum / its >>16 arithmetic shift) — all exactly mirrorable; the

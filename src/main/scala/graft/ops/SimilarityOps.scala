@@ -91,10 +91,21 @@ object SimilarityOps {
     array_max(array(scored: _*)).getField("cid")
   }
 
+  /** Quantize a centroid coordinate to the 1e-6 grid. Lloyd means are
+    * computed by a distributed `avg` whose floating-point sum ORDER is not
+    * deterministic across partition layouts (or engines); the ~1e-16
+    * relative noise that reordering introduces would make index builds
+    * unreproducible. Snapping to 1e-6 absorbs it — index builds become
+    * bit-reproducible run-to-run (and engine-neutral, so the DuckDB oracle
+    * can mirror the whole k-means), while sub-1e-6 centroid precision has
+    * no measurable effect on assignment quality. */
+  private def quantize(m: Double): Double = math.floor(m * 1e6) / 1e6
+
   /** IVF index build: deterministic seeding (lowest hash picks the initial
     * centroids) + a few Lloyd iterations, centroids recomputed distributed
-    * (posexplode + per-dimension mean) and collected (k × dim doubles —
-    * driver-tiny). Returns (assigned vectors, centroids). */
+    * (posexplode + per-dimension mean, quantized — see [[quantize]]) and
+    * collected (k × dim doubles — driver-tiny). Returns (assigned vectors,
+    * centroids). */
   def ivfIndex(emb: DataFrame, nCentroids: Int, iterations: Int = 3, seed: Long = 42L
               ): (DataFrame, Seq[Array[Double]]) = {
     val init = emb
@@ -118,7 +129,7 @@ object SimilarityOps {
           case Some(rows) =>
             val dim = rows.map(_.getInt(1)).max + 1
             val arr = new Array[Double](dim)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            rows.foreach(r => arr(r.getInt(1)) = quantize(r.getDouble(2)))
             arr
           case None => centroids(c) // empty cell keeps its centroid
         }
