@@ -94,7 +94,10 @@ object SparkEntry {
     }),
     // --- deduplication suite ---
     "q_dedup_exact" -> ((s, d) => DedupOps.exactDups(docsAug(s, d))),
-    "q_jaccard_pairs" -> ((s, d) => DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75)),
+    // unigram: df cut DISABLED (1.0) — the synthetic ~30-word vocab makes
+    // every token ubiquitous, so any active cut would empty the result;
+    // ngram: the default 0.5 df cut ACTIVE (mirrored in the oracle SQL)
+    "q_jaccard_pairs" -> ((s, d) => DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75, maxDfFraction = 1.0)),
     "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(docsAug(s, d), 3, 0.5)),
     "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(docsAug(s, d), 0.5)),
     "q_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(docsAug(s, d), 3)),
@@ -304,13 +307,18 @@ object SparkEntry {
       """SELECT doc_id,
                 CAST(list_sum(list_transform(str_split(text, ''), (c, i) -> ascii(c) * i)) % 1000000007 AS BIGINT) AS fingerprint
          FROM documents""",
+    // mirrors the engine's df cut: shingles in > 0.5 × nDocs documents are
+    // dropped before the inverted-index join (the hot-key guard)
     "q_ngram_jaccard" ->
       """WITH aug AS (SELECT doc_id, text FROM documents
                       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
               t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM aug),
-              sh AS (SELECT DISTINCT doc_id,
+              sh0 AS (SELECT DISTINCT doc_id,
                        unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM t),
+              hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+                      HAVING count(*) > 0.5 * (SELECT count(*) FROM aug)),
+              sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
               sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
               inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
                         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -323,6 +331,8 @@ object SparkEntry {
                       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)
          SELECT md5(text) AS sig, min(doc_id) AS canonical_id, count(*) AS n
          FROM aug GROUP BY 1 HAVING count(*) > 1""",
+    // engine runs with maxDfFraction = 1.0 (cut short-circuits: df can
+    // never exceed nDocs), so the mirror carries no df filter
     "q_jaccard_pairs" ->
       """WITH aug AS (SELECT doc_id, text FROM documents
                       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),

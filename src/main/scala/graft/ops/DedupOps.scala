@@ -32,10 +32,46 @@ object DedupOps {
       .filter(length(col("token")) > 0)
       .distinct()
 
+  /** Document-frequency cut: drop tokens/shingles present in more than
+    * maxDfFraction × nDocs documents BEFORE an inverted-index self-join.
+    *
+    * Without it the self-join is quadratic in the hottest key: one
+    * boilerplate shingle shared by a million pages joins 10^6 × 10^6 rows.
+    * Ubiquitous terms contribute almost nothing to Jaccard (they appear in
+    * both sets of nearly every pair), so cutting them bounds the join while
+    * barely moving scores — the standard df/positional-filtering trade.
+    *
+    * NOT silent: the dropped-term count is surfaced on a named spark
+    * accumulator (`dedup_df_cut_dropped_<keyCol>`) and returned via the
+    * optional callback. maxDfFraction >= 1.0 disables the cut (df can never
+    * exceed nDocs), skipping the extra df pass entirely. The hot set is by
+    * construction tiny (high df ⇒ few distinct terms), hence broadcast. */
+  private def dfCut(items: DataFrame, nDocs: Long, keyCol: String,
+                    maxDfFraction: Double,
+                    onDropped: Long => Unit): DataFrame = {
+    if (maxDfFraction >= 1.0) return items
+    val spark = items.sparkSession
+    val maxDf = maxDfFraction * nDocs
+    val hot = items.groupBy(keyCol).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = hot.count()
+    val acc = spark.sparkContext.longAccumulator(s"dedup_df_cut_dropped_$keyCol")
+    acc.add(dropped)
+    onDropped(dropped)
+    items.join(broadcast(hot), Seq(keyCol), "left_anti")
+  }
+
   /** Exact unigram-Jaccard pairs ≥ threshold (a < b). Inverted-index join:
-    * only documents sharing a token ever meet. */
-  def unigramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val toks = docTokens(docs)
+    * only documents sharing a token ever meet; tokens above the df cut are
+    * dropped first (see [[dfCut]] — the 100 TB hot-key guard). */
+  def unigramJaccardPairs(docs: DataFrame, threshold: Double,
+                          maxDfFraction: Double = 0.5,
+                          onDropped: Long => Unit = _ => ()): DataFrame = {
+    val toks0 = docTokens(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = dfCut(toks0, docs.count(), "token", maxDfFraction, onDropped)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = toks.as("a")
       .join(toks.as("b"), col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
@@ -64,10 +100,14 @@ object DedupOps {
   }
 
   /** Exact word-n-gram Jaccard pairs ≥ threshold via an inverted index on
-    * shingle strings (the quadratic-exact sibling of minhashLshPairs). */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    val sh = docShinglesRaw(docs, n)
+    * shingle strings (the quadratic-exact sibling of minhashLshPairs);
+    * shingles above the df cut (shared boilerplate) are dropped first. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+                        maxDfFraction: Double = 0.5,
+                        onDropped: Long => Unit = _ => ()): DataFrame = {
+    val sh0 = docShinglesRaw(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-scale shingles must spill, not OOM
+    val sh = dfCut(sh0, docs.count(), "shingle", maxDfFraction, onDropped)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -161,6 +161,46 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("df cut: a token in every doc is dropped, join stays bounded, count surfaced") {
+    import spark.implicits._
+    // skew fixture: "boiler" appears in EVERY doc (the hot key that makes an
+    // uncut token self-join quadratic); each doc also has unique tokens plus
+    // one real dup pair
+    val skew = (0L until 200L).map { i =>
+      val uniq = s"u${i}a u${i}b u${i}c u${i}d"
+      (i, s"boiler $uniq")
+    } ++ Seq((9000L, "boiler shared words here now"), (9001L, "boiler shared words here now"))
+    val df = skew.toDF("doc_id", "text")
+
+    var dropped = -1L
+    val pairs = DedupOps.unigramJaccardPairs(df, 0.5, maxDfFraction = 0.5,
+      onDropped = dropped = _).collect()
+    assert(dropped == 1L, s"exactly the ubiquitous token is cut (got $dropped)")
+    // without "boiler", the only tokens shared between docs are the dup
+    // pair's — the join produces just that pair instead of 202² candidates
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 9000L && pairs.head.getLong(1) == 9001L)
+    assert(pairs.head.getDouble(2) == 1.0, "jaccard over the CUT sets (boiler excluded)")
+
+    // cut disabled (fraction 1.0): boiler connects every doc pair that
+    // clears the threshold only for the true dups, but candidate pairs blow
+    // up — prove semantics differ only by the cut
+    var dropped2 = -1L
+    val uncut = DedupOps.unigramJaccardPairs(df, 0.5, maxDfFraction = 1.0,
+      onDropped = dropped2 = _).collect()
+    assert(dropped2 == -1L, "fraction >= 1.0 short-circuits: no df pass at all")
+    assert(uncut.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9000L, 9001L)))
+
+    // ngram flavor: the cut drops every shingle of the boilerplate phrase
+    // shared by all docs, keeping the dup pair intact
+    val skew2 = (0L until 100L).map(i => (i, s"the same header line u$i x$i y$i")) ++
+      Seq((9000L, "the same header line unique tail one"),
+          (9001L, "the same header line unique tail one"))
+    val pairs2 = DedupOps.ngramJaccardPairs(skew2.toDF("doc_id", "text"), 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs2 == Set((9000L, 9001L)))
+  }
+
   test("exact dedup groups: identical text, same signature, min doc_id canonical") {
     val dups = DedupOps.exactDups(augmented).collect()
     assert(dups.length == 15)
