@@ -85,6 +85,7 @@ case class CrawlConfig(
                                                  // seeds and discovered outlinks
     htmlFormUseAction: Boolean = true,           // parser.html.form.use_action (form action = outlink)
     htmlOutlinkIgnoreTags: Seq[String] = Nil,    // parser.html.outlinks.ignore_tags
+    parserCharsetDefault: String = "windows-1252", // parser.character.encoding.default
     parseMetaToCrawlDb: Seq[String] = Nil,       // db.parsemeta.to.crawldb: parse_meta keys carried into
                                                  // the frontier row's metadata through updatedb
     // seen

@@ -1,7 +1,5 @@
 package graft.parse
 
-import java.nio.charset.StandardCharsets
-
 import graft.frontier.CrawlConfig
 import graft.schema.Span
 
@@ -10,26 +8,34 @@ import graft.schema.Span
   * ParseUtil.java:79-118, re-expressed as a plain registry keyed by the
   * RESOLVED mime — `graft.url.Mime.resolve` — instead of plugin.xml).
   *
-  * Each parser turns raw fetched bytes into the engine's interleaved span
+  * Each parser turns fetched content into the engine's interleaved span
   * sequence; the rest of the pipeline (signatures, outlink post-processing,
-  * OPIC distribution, updatedb) is parser-agnostic.
+  * OPIC distribution, updatedb) is parser-agnostic. Text parsers receive
+  * `text` decoded with the PER-PAGE detected charset ([[Charsets]] —
+  * Content-Type param → meta/BOM sniff → UTF-8 validation → configured
+  * default), so Latin-1/Shift_JIS/GBK pages parse correctly instead of
+  * mojibaking (which would silently corrupt signatures and dedup).
   */
 trait DocParser extends Serializable {
-  def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span]
+  /** `text` is the charset-decoded content (null when [[needsText]] is
+    * false); `content` the raw fetched bytes. */
+  def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span]
+
+  /** Whether dispatch should charset-decode the bytes for this parser. */
+  def needsText: Boolean = true
 }
 
 /** text/html + application/xhtml+xml → the real DOM-walking parser. */
 object HtmlDocParser extends DocParser {
-  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
-    Html.parse(url, new String(content, StandardCharsets.UTF_8),
-      cfg.htmlFormUseAction, cfg.htmlOutlinkIgnoreTags.toSet).spans
+  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
+    Html.parse(url, text, cfg.htmlFormUseAction, cfg.htmlOutlinkIgnoreTags.toSet).spans
 }
 
 /** Any text mime → one whitespace-collapsed text span (parse-text
   * semantics, reference/src/plugin/parse-text). */
 object PlainTextDocParser extends DocParser {
-  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
-    val t = new String(content, StandardCharsets.UTF_8).replaceAll("\\s+", " ").trim
+  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
+    val t = text.replaceAll("\\s+", " ").trim
     if (t.isEmpty) Seq.empty else Seq(Span("text", t, null, 0))
   }
 }
@@ -40,21 +46,21 @@ object PlainTextDocParser extends DocParser {
   * any other XML degrades to one text span. */
 object XmlDocParser extends DocParser {
   private val Loc = "(?s)<loc>\\s*(.*?)\\s*</loc>".r
-  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
-    val text = new String(content, StandardCharsets.UTF_8)
+  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
     if (text.contains("<urlset") || text.contains("<sitemapindex")) {
       Loc.findAllMatchIn(text).map(_.group(1))
         .map(Html.decodeEntities).filter(_.nonEmpty)
         .zipWithIndex.map { case (loc, i) => Span("link", null, loc, i) }
         .toSeq
-    } else PlainTextDocParser.parse(url, content, cfg)
+    } else PlainTextDocParser.parse(url, text, content, cfg)
   }
 }
 
 /** Unparsable binary → one opaque media span referencing the URL itself
   * (the content rides in the segment; the span records the reference). */
 object BinaryDocParser extends DocParser {
-  override def parse(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
+  override def needsText: Boolean = false
+  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
     Seq(Span("media", null, url, 0))
 }
 
@@ -75,12 +81,17 @@ object DocParsers {
   }
 
   /** Fetch-side dispatch: resolve the mime (content magic → header →
-    * extension → default) then parse. Mirrors ParseUtil.parse's "pick
-    * parser by content type" with MimeUtil's magic precedence — a server
-    * lying in its Content-Type header does not defeat the dispatch. */
+    * extension → default), detect the charset, then parse. Mirrors
+    * ParseUtil.parse's "pick parser by content type" with MimeUtil's magic
+    * precedence — a server lying in its Content-Type header defeats
+    * neither the dispatch nor the decode. */
   def parseSpans(contentType: String, url: String, content: Array[Byte],
                  cfg: CrawlConfig): Seq[Span] = {
     val mime = graft.url.Mime.resolveWithContent(contentType, url, content)
-    forMime(mime).parse(url, content, cfg)
+    val parser = forMime(mime)
+    val text =
+      if (parser.needsText) Charsets.decode(contentType, content, cfg.parserCharsetDefault)
+      else null
+    parser.parse(url, text, content, cfg)
   }
 }

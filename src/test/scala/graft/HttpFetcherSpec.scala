@@ -66,6 +66,14 @@ class HttpFetcherSpec extends AnyFunSuite with SparkSpecBase with BeforeAndAfter
         case "/throttle"  => respond(ex, 429, "slow down", "text/plain")
         case "/lyingpdf"  => respond(ex, 200, "%PDF-1.4 not actually html", "text/html")
         case "/badloc"    => respond(ex, 302, headers = Map("Location" -> "/search?q=foo bar"))
+        case "/latin1" =>
+          // charset-labelled non-UTF-8 page: bytes are ISO-8859-1 (0xE9 é)
+          val bytes = "<html><body>café menú</body></html>"
+            .getBytes(java.nio.charset.Charset.forName("ISO-8859-1"))
+          ex.getResponseHeaders.set("Content-Type", "text/html; charset=ISO-8859-1")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
         case _            => respond(ex, 404)
       }
     })
@@ -80,6 +88,17 @@ class HttpFetcherSpec extends AnyFunSuite with SparkSpecBase with BeforeAndAfter
 
   private def url(path: String): String = s"http://127.0.0.1:$port$path"
   private def fetcher = HttpFetcher(robotsPortOverride = port)
+
+  test("charset-labelled response: header charset drives the parse decode (e2e)") {
+    val resp = fetcher.fetch(url("/latin1"))
+    assert(resp.code == "SUCCESS")
+    assert(resp.contentType == "text/html; charset=ISO-8859-1")
+    val spans = graft.parse.DocParsers.parseSpans(resp.contentType, url("/latin1"),
+      resp.content, CrawlConfig())
+    val text = spans.filter(_.kind == "text").map(_.text).mkString(" ")
+    assert(text.contains("café") && text.contains("menú"),
+      s"ISO-8859-1 body must decode via the header charset, got: $text")
+  }
 
   test("HTTP status mapping to protocol codes (ProtocolStatus semantics)") {
     val f = fetcher
