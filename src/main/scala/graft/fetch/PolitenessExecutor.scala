@@ -264,13 +264,26 @@ object PolitenessExecutor {
                   nFetched += 1
                   // mime-dispatched parse for raw protocol bytes (real-data
                   // path: HTML/plain/binary via the DocParser registry); the
-                  // synthetic protocol serves pre-parsed spans directly
-                  val spans =
+                  // synthetic protocol serves pre-parsed spans directly.
+                  // Container mimes (zip) yield sub-documents — reference
+                  // ParseResult.java multi-entry: one fetch, N parsed rows.
+                  val docs =
                     if (resp.content != null)
-                      graft.parse.DocParsers.parseSpans(resp.contentType, t.url, resp.content, cfg)
-                    else resp.doc.spans
+                      graft.parse.DocParsers.parseResult(resp.contentType, t.url, resp.content, cfg)
+                    else Seq(graft.parse.SubDoc(t.url, resp.contentType, resp.doc.spans))
+                  val spans = docs.head.spans
                   pending.append(result(t, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
                     resp.contentType, signer.signSpans(spans), null, spans))
+                  // sub-documents ride the pipeline as their own fetched rows
+                  // (own URL, own signature; score 0 — OPIC cash stays with
+                  // the container, credits accrue via links like any page)
+                  docs.drop(1).foreach { sd =>
+                    val st = FetchTask(sd.url, Urls.hash64(sd.url), t.host,
+                      t.domain, CrawlStatus.DB_UNFETCHED, endTime, 0,
+                      cfg.fetchIntervalDefault, 0.0f, t.segment)
+                    pending.append(result(st, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
+                      sd.contentType, signer.signSpans(sd.spans), null, sd.spans))
+                  }
                   // in-task outlink follow (fetcher.follow.outlinks.depth,
                   // reference Fetcher.java outlink queuing): the page's first
                   // N link targets enqueue into their host queues — politeness

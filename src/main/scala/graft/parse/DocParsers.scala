@@ -64,6 +64,88 @@ object BinaryDocParser extends DocParser {
     Seq(Span("media", null, url, 0))
 }
 
+/** One parsed document of a container parse — the reference's
+  * parse/ParseResult.java multi-entry semantics (ParseResult.java:41-116):
+  * one fetched container can emit several (url, parse) outputs, each of
+  * which flows through the parsed segment and updatedb as its own row. */
+final case class SubDoc(url: String, contentType: String, spans: Seq[Span])
+
+/** application/zip → container manifest + one sub-document per member
+  * (reference src/plugin/parse-zip ZipTextExtractor.java:63-110: member
+  * url = containerUrl + "/" + entryName, member mime resolved from the
+  * file name, members parsed through the registry). Deviation, documented:
+  * the reference concatenates all member text into the single container
+  * doc (its zip plugin can only emit one doc); here every member IS a
+  * sub-document carrying its own text, so the container keeps just the
+  * member manifest. Zip-bomb guards: per-member + total byte caps, member
+  * count cap, no nested-container recursion. */
+object ZipDocParser extends DocParser {
+  val MaxMembers = 1000
+  val MaxMemberBytes: Int = 4 * 1024 * 1024
+  val MaxTotalBytes: Long = 64L * 1024 * 1024
+
+  override def needsText: Boolean = false
+
+  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
+    resultDocs(url, content, cfg).head.spans
+
+  /** Container (head) + parsed members. Corrupt archives degrade to the
+    * members read so far — one bad row must never fail a fetch task. */
+  def resultDocs(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[SubDoc] = {
+    val subs = Seq.newBuilder[SubDoc]
+    val names = Seq.newBuilder[String]
+    var total = 0L
+    var n = 0
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(content))
+    try {
+      var entry = zin.getNextEntry
+      while (entry != null && n < MaxMembers && total < MaxTotalBytes) {
+        if (!entry.isDirectory) {
+          val name = entry.getName
+          val bytes = readCapped(zin, MaxMemberBytes)
+          total += bytes.length
+          n += 1
+          names += name
+          val memberUrl = s"$url/$name"
+          val mime = graft.url.Mime.resolve(null, memberUrl)
+          // no nested-container recursion (zip bombs); containers inside
+          // containers degrade to opaque binary sub-docs
+          val parser = mime match {
+            case "application/zip" | "application/gzip" => BinaryDocParser
+            case m => DocParsers.forMime(m)
+          }
+          val text =
+            if (parser.needsText) Charsets.decode(null, bytes, cfg.parserCharsetDefault)
+            else null
+          subs += SubDoc(memberUrl, mime, parser.parse(memberUrl, text, bytes, cfg))
+        }
+        entry = if (n < MaxMembers && total < MaxTotalBytes) zin.getNextEntry else null
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => () // truncated/corrupt zip: keep what we have
+    } finally {
+      try zin.close() catch { case _: Exception => () }
+    }
+    val manifest = names.result().mkString(" ")
+    val container =
+      if (manifest.isEmpty) Seq(Span("media", null, url, 0))
+      else Seq(Span("text", manifest, null, 0))
+    SubDoc(url, "application/zip", container) +: subs.result()
+  }
+
+  private def readCapped(in: java.io.InputStream, cap: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8 * 1024)
+    val buf = new Array[Byte](16 * 1024)
+    var remaining = cap
+    var r = 0
+    while (remaining > 0 && { r = in.read(buf, 0, math.min(buf.length, remaining)); r >= 0 }) {
+      out.write(buf, 0, r)
+      remaining -= r
+    }
+    out.toByteArray
+  }
+}
+
 object DocParsers {
 
   /** Registry: resolved mime → parser. Dispatch like the reference's
@@ -75,6 +157,7 @@ object DocParsers {
     case "text/html" | "application/xhtml+xml" => HtmlDocParser
     case "application/xml" | "text/xml" | "application/rss+xml" | "application/atom+xml" =>
       XmlDocParser
+    case "application/zip" => ZipDocParser
     case m if m.startsWith("text/") => PlainTextDocParser
     case "application/json" | "application/javascript" => PlainTextDocParser
     case _ => BinaryDocParser
@@ -93,5 +176,21 @@ object DocParsers {
       if (parser.needsText) Charsets.decode(contentType, content, cfg.parserCharsetDefault)
       else null
     parser.parse(url, text, content, cfg)
+  }
+
+  /** Multi-document dispatch (reference ParseResult semantics): container
+    * mimes emit the container PLUS one [[SubDoc]] per member; everything
+    * else emits exactly one. Head is always the container/page itself. */
+  def parseResult(contentType: String, url: String, content: Array[Byte],
+                  cfg: CrawlConfig): Seq[SubDoc] = {
+    val mime = graft.url.Mime.resolveWithContent(contentType, url, content)
+    forMime(mime) match {
+      case ZipDocParser => ZipDocParser.resultDocs(url, content, cfg)
+      case p =>
+        val text =
+          if (p.needsText) Charsets.decode(contentType, content, cfg.parserCharsetDefault)
+          else null
+        Seq(SubDoc(url, mime, p.parse(url, text, content, cfg)))
+    }
   }
 }
