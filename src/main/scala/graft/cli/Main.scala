@@ -59,6 +59,11 @@ object Main {
       case "http" => (cfg0.copy(realClock = true),
         graft.fetch.HttpFetcher(
           agent = sys.env.getOrElse("GRAFT_AGENT", "graftbot/1.0 (graft crawler)")))
+      case "file" =>
+        // protocol-file: crawl a local/mounted corpus; no remote server to
+        // be polite to, and file URLs must clear the scheme filter
+        graft.url.UrlFilters.allowFileScheme = true
+        (cfg0.copy(realClock = true, serverDelayMs = 0), graft.fetch.FileFetcher())
       case _ => (cfg0, graft.fetch.SyntheticFetcher(web, cfg0.fetchLatencyMs))
     }
     val crawl = Crawl(spark, storeRoot, cfg, fetcher)

@@ -89,13 +89,26 @@ object UrlFilters {
 
   final val MaxUrlLength = 4096
 
+  /** Opt-in for file:// crawls (protocol-file). Default comes from the
+    * GRAFT_ALLOW_FILE_SCHEME env / graft.allow.file.scheme property so a
+    * cluster deployment can switch it via executor env or extraJavaOptions
+    * (this is process-local state, like the reference's edited filter
+    * config file shipped to every node). */
+  @volatile var allowFileScheme: Boolean =
+    sys.props.get("graft.allow.file.scheme")
+      .orElse(sys.env.get("GRAFT_ALLOW_FILE_SCHEME"))
+      .exists(_.equalsIgnoreCase("true"))
+
   /** The default filter chain, fused into one static function. */
   def accept(url: String): Boolean = {
     if (url == null) return false
     if (url.length > MaxUrlLength) return false
     val lower = url.toLowerCase(Locale.ROOT)
-    // scheme allow-list (reference denies file:/ftp:/mailto:)
-    if (!(lower.startsWith("http://") || lower.startsWith("https://"))) return false
+    // scheme allow-list (reference denies file:/ftp:/mailto: by default and
+    // a protocol-file crawl edits regex-urlfilter; the equivalent switch
+    // here is allowFileScheme)
+    if (!(lower.startsWith("http://") || lower.startsWith("https://") ||
+        (allowFileScheme && lower.startsWith("file://")))) return false
     // media suffix deny
     val qIdx = lower.indexOf('?')
     val path = if (qIdx < 0) lower else lower.substring(0, qIdx)

@@ -22,7 +22,8 @@ import java.util.Locale
   */
 object Urls {
 
-  private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21)
+  // file has no default port (-1 never matches an explicit port)
+  private val DefaultPorts = Map("http" -> 80, "https" -> 443, "ftp" -> 21, "file" -> -1)
 
   /** Query parameter names treated as session ids and stripped
     * (reference regex-normalize defaults). */
@@ -95,6 +96,9 @@ object Urls {
       }
       host = host.toLowerCase(Locale.ROOT)
       while (host.endsWith(".")) host = host.substring(0, host.length - 1) // trailing-dot rule
+      // RFC 8089: a file URL's empty authority means localhost — keep the
+      // canonical form hosted so host-keyed politeness/partitioning works
+      if (host.isEmpty && scheme == "file") host = "localhost"
       if (host.isEmpty) return null
       val portPart =
         if (port < 0 || port == DefaultPorts(scheme)) "" else ":" + port
