@@ -22,24 +22,77 @@ object MultimodalOps {
   def attachBlobs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("blob"))
 
-  /** FAKE DECODE KERNEL — stands in for an image decoder. Deterministic,
-    * pure function of the bytes; replace with a real codec binding at the
-    * marked line. */
+  /** REAL header decode: format + pixel geometry straight from the
+    * container headers — PNG IHDR, JPEG SOFn marker scan, GIF logical
+    * screen descriptor, WebP VP8/VP8L/VP8X — the same magic signatures
+    * `Mime.sniff` keys on. None for bytes that are not a known image
+    * container (full pixel decode of arbitrary codecs would need an
+    * imaging library; header geometry is what crawl metadata needs). */
+  def decodeHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le24(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)
+    if (b == null) return None
+    // PNG: 8-byte signature, IHDR chunk first — width/height BE at 16/20
+    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      return Some(("png", be32(16), be32(20)))
+    // JPEG: FF D8, then scan segments for a SOFn (C0..CF minus C4/C8/CC)
+    if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      while (i + 9 < b.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        i += (if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) 2
+              else 2 + be16(i + 2))
+      }
+      return Some(("jpeg", 0, 0)) // JPEG magic but no SOF in the prefix
+    }
+    // GIF: logical screen descriptor, LE at 6/8
+    if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+      return Some(("gif", le16(6), le16(8)))
+    // WebP: RIFF....WEBP + VP8 /VP8L/VP8X chunk
+    if (b.length >= 30 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+      u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' && u8(11) == 'P') {
+      val chunk = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      chunk match {
+        case "VP8 " => return Some(("webp", le16(26) & 0x3fff, le16(28) & 0x3fff))
+        case "VP8L" =>
+          val bits = le32(b, 21)
+          return Some(("webp", 1 + (bits & 0x3fff), 1 + ((bits >> 14) & 0x3fff)))
+        case "VP8X" => return Some(("webp", 1 + le24(24), 1 + le24(27)))
+        case _ => return Some(("webp", 0, 0))
+      }
+    }
+    None
+  }
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Decode kernel: REAL header geometry when the bytes are a known image
+    * container; otherwise the deterministic fake (pure function of the
+    * bytes — fixture blobs are text and keep their mirrorable oracle). */
   private def decodeOne(docId: Long, blob: Array[Byte]): MediaMeta = {
-    // ??? real decoder goes here (e.g. javax.imageio / ffmpeg binding).
-    // Deterministic fake: geometry from byte statistics.
     var sum = 0L
     var i = 0
     while (i < blob.length) { sum = sum * 31 + (blob(i) & 0xff); i += 1 }
-    val fmt = (sum % 3).toInt match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
+    decodeHeader(blob) match {
+      case Some((fmt, w, h)) => MediaMeta(docId, blob.length, fmt, w, h, sum)
+      case None =>
+        // deterministic fake: geometry from byte statistics (non-image bytes)
+        val fmt = (sum % 3).toInt match {
+          case 0 => "png"
+          case 1 => "jpeg"
+          case _ => "webp"
+        }
+        MediaMeta(docId, blob.length, fmt,
+          width = 64 + math.floorMod(sum, 576L).toInt,
+          height = 64 + math.floorMod(sum >> 16, 416L).toInt,
+          checksum = sum)
     }
-    MediaMeta(docId, blob.length, fmt,
-      width = 64 + math.floorMod(sum, 576L).toInt,
-      height = 64 + math.floorMod(sum >> 16, 416L).toInt,
-      checksum = sum)
   }
 
   /** Batch decode: partition-local, no shuffle, typed output. The batch

@@ -217,6 +217,37 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(graft.url.Urls.rollingHash64("abc") == ((1125899906842597L * 31 + 'a') * 31 + 'b') * 31 + 'c')
   }
 
+  test("real image-header decode: PNG/JPEG via ImageIO bytes, GIF/WebP handcrafted") {
+    import MultimodalOps.decodeHeader
+    def render(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // real encoder output (JDK ImageIO), decoded by OUR header parser
+    assert(decodeHeader(render("png", 37, 23)).contains(("png", 37, 23)))
+    assert(decodeHeader(render("jpg", 41, 29)).contains(("jpeg", 41, 29)))
+    assert(decodeHeader(render("gif", 17, 11)).contains(("gif", 17, 11)))
+    // WebP lossy header (handcrafted VP8 chunk prefix)
+    val webp = new Array[Byte](30)
+    "RIFF".getBytes.copyToArray(webp, 0)
+    "WEBPVP8 ".getBytes.copyToArray(webp, 8)
+    webp(26) = 100; webp(27) = 0 // width LE14 = 100
+    webp(28) = 60; webp(29) = 0  // height LE14 = 60
+    assert(decodeHeader(webp).contains(("webp", 100, 60)))
+    // non-image bytes: no header — the deterministic fake path handles them
+    assert(decodeHeader("just some document text".getBytes).isEmpty)
+    assert(decodeHeader(Array[Byte]()).isEmpty)
+    // and through the batch decode: real images get real geometry
+    import spark.implicits._
+    val blobs = Seq((1L, render("png", 37, 23)), (2L, "plain text".getBytes))
+      .toDF("doc_id", "blob")
+    val out = MultimodalOps.decodeBlobs(blobs).collect().sortBy(_.doc_id)
+    assert(out(0).format == "png" && out(0).width == 37 && out(0).height == 23)
+    assert(out(1).width >= 64, "non-image blob takes the fake kernel")
+  }
+
   test("multimodal decode stub: deterministic, typed, partition-local") {
     val meta = MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs)).collect()
     assert(meta.length == docs.count())
