@@ -85,6 +85,7 @@ object SparkEntry {
     // --- text analysis (documents) ---
     "q_token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
     "q_bpeish_tokens" -> ((s, d) => TextOps.bpeishTokenCount(docs(s, d))),
+    "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenCount(docs(s, d))),
     "q_text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
     "q_lang_guess" -> ((s, d) => TextOps.langGuess(docs(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
@@ -458,6 +459,9 @@ object SparkEntry {
            FROM credits c WHERE c.to_url NOT IN (SELECT url FROM pages))
          SELECT url, host, status, score FROM seeds
          UNION ALL SELECT url, host, status, score FROM discovered""",
+    // real merge-table BPE, mirrored as a recursive CTE sharing the SAME
+    // checked-in merge table (ops.Bpe generates both sides)
+    "q_bpe_tokens" -> graft.ops.Bpe.oracleSql,
     // the four xxhash64-based operators, mirrored from first principles via
     // the staged DuckDB xxh64 re-derivation in queries/HashOracles (macro
     // prelude + single-op CTE stages; bit-exact vs Spark's XxHash64)

@@ -185,3 +185,17 @@ case class UrlAccept(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "url_accept"
 }
+
+/** Merge-table BPE token count (graft.ops.Bpe): real tiktoken-style greedy
+  * pair merging, codegen'd via the static forwarder — token budgeting
+  * stays inside whole-stage codegen, no UDF boundary. */
+case class TextBpeCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.Bpe.countTokens(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Bpe.countTokens($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "text_bpe_count"
+}

@@ -80,6 +80,16 @@ object TextOps {
         regexp_count(col("text"), lit("[^A-Za-z0-9\\s]"))).as("n_bpeish_tokens")
     )
 
+  /** REAL merge-table BPE token count ([[Bpe]]): greedy lowest-rank pair
+    * merging per word, via the codegen'd `text_bpe_count` expression —
+    * the token-budget number an LLM-pipeline user actually wants (the
+    * regex sibling above is the cheap approximation). */
+  def bpeTokenCount(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("text_bpe_count", col("text")).as("n_bpe_tokens"))
+  }
+
   /** Position-weighted character fingerprint: sum(ascii(c_i) * i) over the
     * 1-based character positions — deterministic, oracle-mirrorable.
     * (The production-scale rolling hash is the native text_fingerprint64

@@ -217,6 +217,25 @@ class OpsSpec extends AnyFunSuite with SparkSpecBase {
     assert(graft.url.Urls.rollingHash64("abc") == ((1125899906842597L * 31 + 'a') * 31 + 'b') * 31 + 'c')
   }
 
+  test("real BPE: merge-table encoding goldens + column expression") {
+    import graft.ops.Bpe
+    assert(Bpe.encodeWordCount("the") == 1)   // t,h→th; th,e→the
+    assert(Bpe.encodeWordCount("scan") == 1)  // a,n→an; s,c→sc; sc,an→scan
+    assert(Bpe.encodeWordCount("query") == 3) // e,r→er; er,y→ery ⇒ q,u,ery
+    assert(Bpe.encodeWordCount("xyzzy") == 5) // nothing merges
+    assert(Bpe.encodeWordCount("") == 0)
+    assert(Bpe.countTokens("the scan  query") == 5)
+    assert(Bpe.countTokens(null) == 0)
+    // through the codegen'd expression over the real table
+    val out = TextOps.bpeTokenCount(docs.limit(50)).collect()
+    assert(out.length == 50 && out.forall(_.getLong(1) > 0))
+    // the real count is <= char count and >= word count for these texts
+    val one = TextOps.bpeTokenCount(
+      spark.createDataFrame(Seq((1L, "the scan query"))).toDF("doc_id", "text"))
+      .head().getLong(1)
+    assert(one == 5)
+  }
+
   test("real image-header decode: PNG/JPEG via ImageIO bytes, GIF/WebP handcrafted") {
     import MultimodalOps.decodeHeader
     def render(fmt: String, w: Int, h: Int): Array[Byte] = {
