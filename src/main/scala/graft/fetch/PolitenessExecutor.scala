@@ -22,7 +22,8 @@ case class FetchedPage(
     fetch_interval: Int,
     score: Float,
     round: Int,
-    spans: Seq[Span]
+    spans: Seq[Span],
+    depth: Int = 1 // scoring-depth: the fetched page's own depth
 )
 
 /** Per-partition fetch counters (per-partition lineage, north rule). */
@@ -185,7 +186,7 @@ object PolitenessExecutor {
                ct: String = null, sig: Array[Byte] = null, repr: String = null,
                spans: Seq[Span] = Seq.empty): FetchedPage =
       FetchedPage(t.url, t.url_hash, t.host, status, proto, time, ct, sig, repr,
-        t.retries, t.fetch_interval, t.score, round, spans)
+        t.retries, t.fetch_interval, t.score, round, spans, t.depth)
 
     new Iterator[FetchedPage] {
       private val pending = new mutable.ArrayDeque[FetchedPage]()
@@ -280,7 +281,8 @@ object PolitenessExecutor {
                   docs.drop(1).foreach { sd =>
                     val st = FetchTask(sd.url, Urls.hash64(sd.url), t.host,
                       t.domain, CrawlStatus.DB_UNFETCHED, endTime, 0,
-                      cfg.fetchIntervalDefault, 0.0f, t.segment)
+                      cfg.fetchIntervalDefault, 0.0f, t.segment,
+                      depth = t.depth) // members live AT the container's depth
                     pending.append(result(st, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
                       sd.contentType, signer.signSpans(sd.spans), null, sd.spans))
                   }
@@ -290,7 +292,8 @@ object PolitenessExecutor {
                   // applies — up to `followOutlinksDepth` levels; external
                   // hosts skipped unless configured. The hop counter is
                   // shared with redirect-follow (combined in-task depth).
-                  if (cfg.followOutlinksDepth > 0 && hop < cfg.followOutlinksDepth) {
+                  if (cfg.followOutlinksDepth > 0 && hop < cfg.followOutlinksDepth &&
+                      (cfg.scoringDepthMax <= 0 || t.depth < cfg.scoringDepthMax)) {
                     var followedHere = 0
                     val linkIt = spans.iterator.filter(_.kind == "link")
                     while (followedHere < cfg.followOutlinksNumLinks && linkIt.hasNext) {
@@ -303,7 +306,8 @@ object PolitenessExecutor {
                           followedHere += 1
                           val nt = FetchTask(target, Urls.hash64(target), th,
                             Urls.registeredDomainOf(th), CrawlStatus.DB_UNFETCHED,
-                            endTime, 0, cfg.fetchIntervalDefault, t.score, t.segment)
+                            endTime, 0, cfg.fetchIntervalDefault, t.score, t.segment,
+                            depth = t.depth + 1)
                           enqueue(queues.getOrElseUpdate(th, new HostQueue(th)), (nt, hop + 1))
                         }
                       }
@@ -338,9 +342,12 @@ object PolitenessExecutor {
                       target != t.url && followed.add(target)) {
                     val th = Urls.hostOf(target)
                     if (th != null) {
+                      // a redirect is the same document, not a link hop —
+                      // the target keeps the source's depth
                       val nt = FetchTask(target, Urls.hash64(target), th,
                         Urls.registeredDomainOf(th), CrawlStatus.DB_UNFETCHED,
-                        endTime, 0, cfg.fetchIntervalDefault, t.score, t.segment)
+                        endTime, 0, cfg.fetchIntervalDefault, t.score, t.segment,
+                        depth = t.depth)
                       enqueue(queues.getOrElseUpdate(th, new HostQueue(th)), (nt, hop + 1))
                     }
                   }

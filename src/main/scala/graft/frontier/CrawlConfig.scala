@@ -86,6 +86,12 @@ case class CrawlConfig(
     htmlFormUseAction: Boolean = true,           // parser.html.form.use_action (form action = outlink)
     htmlOutlinkIgnoreTags: Seq[String] = Nil,    // parser.html.outlinks.ignore_tags
     parserCharsetDefault: String = "windows-1252", // parser.character.encoding.default
+    // scoring-depth plugin (reference src/plugin/scoring-depth, scoring.depth.max):
+    // 0 = off. When > 0, seeds inject at depth 1 (overridable per seed via a
+    // "_depth_" k=v), outlinks inherit parent depth + 1, and pages AT the max
+    // have their outlinks suppressed at parse — depth max+1 URLs are never
+    // discovered, so a maxDepth crawl can never fetch past it.
+    scoringDepthMax: Int = 0,
     parseMetaToCrawlDb: Seq[String] = Nil,       // db.parsemeta.to.crawldb: parse_meta keys carried into
                                                  // the frontier row's metadata through updatedb
     // seen

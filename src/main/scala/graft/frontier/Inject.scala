@@ -43,7 +43,12 @@ object Inject {
         }
       }
     }
-    Some(Seed(url, score, interval, md.result()))
+    var meta = md.result()
+    // scoring-depth: seeds start at depth 1 unless the seed line overrides
+    // (reference DepthScoringFilter.injectedScore:188-204)
+    if (cfg.scoringDepthMax > 0 && !meta.contains("_depth_"))
+      meta += ("_depth_" -> "1")
+    Some(Seed(url, score, interval, meta))
   }
 
   def seedToEntry(s: Seed, now: Long): FrontierEntry = {

@@ -186,7 +186,8 @@ object UpdateDb {
             schedule.initialize(
               FrontierEntry(u.url, Urls.hash64(u.url), host, Urls.registeredDomainOf(host),
                 CrawlStatus.DB_UNFETCHED, now, 0, cfg.fetchIntervalDefault, u.score,
-                null, 0L, null, -1L, Map.empty), now)
+                // definitely-new link rows keep their metadata (depth stamp)
+                null, 0L, null, -1L, Option(u.metadata).getOrElse(Map.empty)), now)
           }
           (seenSide.unionByName(backToJoin), Some(direct))
         case _ => (linked0, None)

@@ -74,7 +74,10 @@ object UpdateDbColumnar {
             lit(0L).as("modified_time"),
             lit(null).cast("string").as("repr_url"),
             lit(-1L).as("generate_time"),
-            map_from_arrays(array().cast("array<string>"), array().cast("array<string>")).as("metadata"))
+            // definitely-new link rows keep their own metadata (depth stamp)
+            coalesce(col("metadata"),
+              map_from_arrays(array().cast("array<string>"), array().cast("array<string>")))
+              .as("metadata"))
           (seenSide.unionByName(backToJoin).drop("_h").as[FrontierUpdate], Some(direct))
         case _ => (linked0, None)
       }
@@ -112,7 +115,8 @@ object UpdateDbColumnar {
       }
 
     val l = linked.toDF().select(
-      col("url").as("l_url"), col("score").as("l_credit"))
+      col("url").as("l_url"), col("score").as("l_credit"),
+      col("metadata").as("l_meta"))
 
     val joined = old
       .join(f, col("url") === col("f_url"), "full_outer")
@@ -229,10 +233,13 @@ object UpdateDbColumnar {
     val newRepr = when(hasFetch && (isRedirP || isRedirT), col("f_repr"))
       .otherwise(col("o_repr"))
 
-    // metadata: old ∪ fetch, fetch wins (both may be null)
+    // metadata: old ∪ fetch, fetch wins (both may be null); a link-only NEW
+    // row carries the link row's metadata (scoring-depth discovery stamp) —
+    // same as the typed path's `old == null ⇒ fetch.metadata`
     val newMeta = when(hasFetch && hasOld, map_concat_safe(col("o_meta"), col("f_meta")))
       .when(hasFetch, coalesce(col("f_meta"), emptyMeta))
-      .otherwise(coalesce(col("o_meta"), emptyMeta))
+      .when(hasOld, coalesce(col("o_meta"), emptyMeta))
+      .otherwise(coalesce(col("l_meta"), emptyMeta))
 
     // OPIC credit
     val newScore = (bScore + coalesce(col("l_credit"), lit(0.0f))).cast("float")

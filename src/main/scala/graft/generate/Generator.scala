@@ -117,6 +117,7 @@ object Generator {
     // nonzero count is the "this frontier is too skewed for domain mode"
     // lineage warning (CrawlRound records it as a generate_skew metric).
     val byDomain = cfg.generateCountMode == "domain"
+    val depthOn = cfg.scoringDepthMax > 0
     val keyCol = if (byDomain) col("domain") else col("host")
     val sortCols = if (byDomain) Seq(col("domain"), desc("score")) else Seq(desc("score"))
 
@@ -161,7 +162,11 @@ object Generator {
             domainCount(seg).update(e.domain, domainCount(seg).getOrElse(e.domain, 0) + 1)
             emitted(seg) += 1
             Iterator(FetchTask(e.url, e.url_hash, e.host, e.domain, e.status,
-              e.fetch_time, e.retries, e.fetch_interval, e.score, seg))
+              e.fetch_time, e.retries, e.fetch_interval, e.score, seg,
+              depth = if (depthOn)
+                Option(e.metadata).flatMap(_.get("_depth_"))
+                  .flatMap(_.toIntOption).getOrElse(1)
+              else 1))
           }
         }
         // flush the final domain's run check after the input drains (by-name

@@ -50,15 +50,25 @@ object Parse {
       .filter(col("status").isin(CrawlStatus.FETCH_SUCCESS.toInt,
         CrawlStatus.FETCH_REDIR_PERM.toInt, CrawlStatus.FETCH_REDIR_TEMP.toInt))
       .select(col("url").as("from_url"), col("host").as("from_host"),
-        col("score"), col("fetch_time"),
+        col("score"), col("fetch_time"), col("depth"),
         // over-long outlinks dropped (db.max.outlink.length) and cap applied
         // BEFORE exploding: slice bounds the blowup (db.max.outlinks.per.page)
         slice(filter(col("spans"), s => s.getField("kind").isin("link", "media", "redirect") &&
-            length(s.getField("media_ref")) <= cfg.maxOutlinkLength),
+            length(s.getField("media_ref")) <= cfg.maxOutlinkLength &&
+            // scoring-depth enforcement point (reference DepthScoringFilter
+            // .distributeScoreToOutlinks:89-140): a page AT the depth cap has
+            // its outlinks suppressed — depth max+1 URLs are never
+            // discovered. Redirect spans are exempt: a redirect is the same
+            // document, not a hop.
+            (lit(cfg.scoringDepthMax <= 0) || col("depth") < cfg.scoringDepthMax ||
+              s.getField("kind") === "redirect")),
           1, cfg.maxOutlinksPerPage).as("links"))
       .withColumn("n", greatest(size(col("links")), lit(1)))
-      .select(col("from_url"), col("from_host"), col("score"), col("fetch_time"), col("n"),
-        explode(col("links")).as("l"))
+      .select(col("from_url"), col("from_host"), col("score"), col("fetch_time"),
+        col("depth"), col("n"), explode(col("links")).as("l"))
+      // redirect targets inherit the source depth; real links are one deeper
+      .withColumn("child_depth",
+        when(col("l.kind") === "redirect", col("depth")).otherwise(col("depth") + 1))
       .withColumn("to_url", call_function("url_canon_filter", col("l.media_ref")))
       .filter(col("to_url").isNotNull && col("to_url") =!= col("from_url"))
       // pluggable filter chain (prefix/suffix/domain/regex variants): UDF
@@ -92,15 +102,17 @@ object Parse {
     // Exactness of the inlink cap (db.update.max.inlinks) is preserved:
     // URLs within the cap get sum == capped sum; the rare over-cap URLs are
     // resolved exactly against the raw credits (top-K by score).
-    val perLink = exploded.select(col("to_url"), col("fetch_time"), col("child_score"))
+    val perLink = exploded.select(col("to_url"), col("fetch_time"),
+      col("child_score"), col("child_depth"))
     val agg = perLink
       .groupBy(col("to_url"))
       .agg(sum(col("child_score")).as("credit"),
         count(lit(1)).as("n_links"),
-        max(col("fetch_time")).as("fetch_time"))
+        max(col("fetch_time")).as("fetch_time"),
+        min(col("child_depth")).as("depth")) // shortest path wins (reference min)
 
     val within = agg.filter(col("n_links") <= cfg.maxInlinks)
-      .select(col("to_url"), col("credit"), col("fetch_time"))
+      .select(col("to_url"), col("credit"), col("fetch_time"), col("depth"))
     val overKeys = agg.filter(col("n_links") > cfg.maxInlinks)
       .select(col("to_url"), col("fetch_time"))
     val overResolved = perLink
@@ -109,7 +121,8 @@ object Parse {
         org.apache.spark.sql.expressions.Window.partitionBy("to_url").orderBy(desc("child_score"))))
       .filter(col("_rk") <= cfg.maxInlinks)
       .groupBy(col("to_url"))
-      .agg(sum(col("child_score")).as("credit"), max(col("fetch_time")).as("fetch_time"))
+      .agg(sum(col("child_score")).as("credit"), max(col("fetch_time")).as("fetch_time"),
+        min(col("child_depth")).as("depth"))
     val credits = within.unionByName(overResolved)
 
     credits.select(
@@ -123,7 +136,11 @@ object Parse {
       lit(null).cast("binary").as("signature"),
       lit(0L).as("modified_time"),
       lit(null).cast("string").as("repr_url"),
-      typedLit(Map.empty[String, String]).as("metadata"),
+      // per-row maps only when depth scoring is on — the default hot path
+      // ships no map allocations
+      (if (cfg.scoringDepthMax > 0)
+        map(lit("_depth_"), col("depth").cast("string"))
+      else typedLit(Map.empty[String, String])).as("metadata"),
       lit(-1L).as("generate_time")
     ).as[FrontierUpdate]
   }
@@ -144,13 +161,17 @@ object Parse {
     import spark.implicits._
     val wantMime = graft.frontier.FetchSchedule.nameFor(cfg) == "mime"
     val keys = cfg.parseMetaToCrawlDb
-    if (!wantMime && keys.isEmpty)
+    val depthOn = cfg.scoringDepthMax > 0
+    if (!wantMime && keys.isEmpty && !depthOn)
       pages.map { p =>
         FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
           p.fetch_interval, p.score, p.signature, 0L, p.repr_url, Map.empty)
       }
     else pages.map { p =>
       var meta = Map.empty[String, String]
+      // scoring-depth: the frontier remembers the page's depth (fetch wins
+      // the metadata merge, so a refetch refreshes it)
+      if (depthOn) meta += "_depth_" -> p.depth.toString
       if ((wantMime || keys.contains("content_type")) && p.content_type != null)
         meta += "content_type" -> p.content_type
       if (keys.contains("mime"))

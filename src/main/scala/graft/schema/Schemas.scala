@@ -52,7 +52,8 @@ case class FetchTask(
     fetch_interval: Int,
     score: Float,
     segment: Int,
-    fetch_delay_ms: Long = -1L
+    fetch_delay_ms: Long = -1L,
+    depth: Int = 1 // scoring-depth: hops from the seed (cfg.scoringDepthMax)
 )
 
 /** Fetch outcome (crawl_fetch equivalent). `fetch_time` is the simulated or

@@ -41,6 +41,24 @@ class UpdateDbColumnarSpec extends AnyFunSuite with SparkSpecBase {
     assertSame(base)
   }
 
+  test("columnar ≡ typed with scoring-depth metadata (maps stringified)") {
+    def f(cfg: CrawlConfig): org.apache.spark.sql.DataFrame = {
+      val web = SyntheticWeb(WebConfig(nHosts = 8, pagesPerHost = 14, hotFactor = 3))
+      val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 3, tmp())
+      store.load(spark, "frontier").get
+        .selectExpr("url", "status", "score", "fetch_time",
+          "array_join(transform(array_sort(map_entries(metadata)), e -> e.key || '=' || e.value), ',') AS meta")
+    }
+    val cfg = base.copy(scoringDepthMax = 3)
+    val typed = f(cfg.copy(columnarUpdateDb = false))
+    val columnar = f(cfg.copy(columnarUpdateDb = true))
+    assert(typed.count() == columnar.count())
+    val d1 = typed.exceptAll(columnar).collect()
+    val d2 = columnar.exceptAll(typed).collect()
+    assert(d1.isEmpty && d2.isEmpty,
+      s"typed-only:\n${d1.take(5).mkString("\n")}\ncolumnar-only:\n${d2.take(5).mkString("\n")}")
+  }
+
   test("columnar ≡ typed over 3 rounds, adaptive schedule") {
     assertSame(base.copy(adaptiveSchedule = true))
   }
