@@ -114,9 +114,17 @@ object UpdateDbColumnar {
             col("_w.f_sig").as("f_sig"), col("_w.f_repr").as("f_repr"), col("_w.f_meta").as("f_meta"))
       }
 
-    val l = linked.toDF().select(
-      col("url").as("l_url"), col("score").as("l_credit"),
-      col("metadata").as("l_meta"))
+    // link metadata only exists when depth scoring stamps it — the default
+    // path must not drag a per-row map column through the join shuffle
+    val l =
+      if (cfg.scoringDepthMax > 0)
+        linked.toDF().select(
+          col("url").as("l_url"), col("score").as("l_credit"),
+          col("metadata").as("l_meta"))
+      else
+        linked.toDF().select(
+          col("url").as("l_url"), col("score").as("l_credit"),
+          lit(null).cast("map<string,string>").as("l_meta"))
 
     val joined = old
       .join(f, col("url") === col("f_url"), "full_outer")

@@ -66,9 +66,12 @@ object Parse {
       .withColumn("n", greatest(size(col("links")), lit(1)))
       .select(col("from_url"), col("from_host"), col("score"), col("fetch_time"),
         col("depth"), col("n"), explode(col("links")).as("l"))
-      // redirect targets inherit the source depth; real links are one deeper
+      // redirect targets inherit the source depth; real links are one deeper.
+      // Depth off: constant — the extra agg below folds to nothing real.
       .withColumn("child_depth",
-        when(col("l.kind") === "redirect", col("depth")).otherwise(col("depth") + 1))
+        if (cfg.scoringDepthMax > 0)
+          when(col("l.kind") === "redirect", col("depth")).otherwise(col("depth") + 1)
+        else lit(1))
       .withColumn("to_url", call_function("url_canon_filter", col("l.media_ref")))
       .filter(col("to_url").isNotNull && col("to_url") =!= col("from_url"))
       // pluggable filter chain (prefix/suffix/domain/regex variants): UDF
@@ -102,14 +105,19 @@ object Parse {
     // Exactness of the inlink cap (db.update.max.inlinks) is preserved:
     // URLs within the cap get sum == capped sum; the rare over-cap URLs are
     // resolved exactly against the raw credits (top-K by score).
-    val perLink = exploded.select(col("to_url"), col("fetch_time"),
-      col("child_score"), col("child_depth"))
+    val depthOn = cfg.scoringDepthMax > 0
+    val perLink = exploded.select(Seq(col("to_url"), col("fetch_time"),
+      col("child_score")) ++ (if (depthOn) Seq(col("child_depth")) else Nil): _*)
+    // depth agg (shortest path wins — reference min) only when scoring-depth
+    // is on: the default 16M-row pre-agg carries no extra column
+    def depthAgg = min(col("child_depth")).as("depth")
     val agg = perLink
       .groupBy(col("to_url"))
       .agg(sum(col("child_score")).as("credit"),
-        count(lit(1)).as("n_links"),
-        max(col("fetch_time")).as("fetch_time"),
-        min(col("child_depth")).as("depth")) // shortest path wins (reference min)
+        (Seq(count(lit(1)).as("n_links"),
+          max(col("fetch_time")).as("fetch_time")) ++
+          (if (depthOn) Seq(depthAgg) else Nil)): _*)
+      .transform(df => if (depthOn) df else df.withColumn("depth", lit(1)))
 
     val within = agg.filter(col("n_links") <= cfg.maxInlinks)
       .select(col("to_url"), col("credit"), col("fetch_time"), col("depth"))
@@ -121,8 +129,10 @@ object Parse {
         org.apache.spark.sql.expressions.Window.partitionBy("to_url").orderBy(desc("child_score"))))
       .filter(col("_rk") <= cfg.maxInlinks)
       .groupBy(col("to_url"))
-      .agg(sum(col("child_score")).as("credit"), max(col("fetch_time")).as("fetch_time"),
-        min(col("child_depth")).as("depth"))
+      .agg(sum(col("child_score")).as("credit"),
+        (Seq(max(col("fetch_time")).as("fetch_time")) ++
+          (if (depthOn) Seq(depthAgg) else Nil)): _*)
+      .transform(df => if (depthOn) df else df.withColumn("depth", lit(1)))
     val credits = within.unionByName(overResolved)
 
     credits.select(
