@@ -158,6 +158,7 @@ object DocParsers {
     case "application/xml" | "text/xml" | "application/rss+xml" | "application/atom+xml" =>
       XmlDocParser
     case "application/zip" => ZipDocParser
+    case "application/pdf" => PdfDocParser
     case m if m.startsWith("text/") => PlainTextDocParser
     case "application/json" | "application/javascript" => PlainTextDocParser
     case _ => BinaryDocParser
