@@ -107,6 +107,8 @@ object SparkEntry {
     "q_embed_topk" -> ((s, d) => SimilarityOps.bruteTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
     "q_ann_lsh_topk" -> ((s, d) => SimilarityOps.lshTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
     "q_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
+    // --- scoring-orphan plugin through the real updatedb merge ---
+    "q_orphan_status" -> (Relational.orphanStatus _),
     // --- multimodal plumbing ---
     "q_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(docs(s, d))),
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs(s, d))).toDF()),
@@ -180,6 +182,23 @@ object SparkEntry {
                      WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_orderkey % 4 AS INTEGER)
                      ELSE 0 END AS new_retries
          FROM orders""",
+    "q_orphan_status" ->
+      """WITH b AS (
+           SELECT 'u' || CAST(o_orderkey AS VARCHAR) AS url,
+                  o_orderkey % 2 AS fetch_m, o_orderkey % 3 AS link_m, o_orderkey % 4 AS bucket
+           FROM orders)
+         SELECT url,
+                CASE WHEN link_m = 0 THEN (CASE WHEN fetch_m = 0 THEN 2 ELSE 1 END)
+                     WHEN bucket = 3 THEN 8
+                     WHEN bucket = 2 THEN 3
+                     WHEN fetch_m = 0 THEN 2 ELSE 1 END AS new_status,
+                CAST(CASE WHEN link_m = 0 THEN 1700000000
+                          WHEN bucket = 1 THEN 1700000000 - 10*86400
+                          WHEN bucket = 2 THEN 1700000000 - 35*86400
+                          WHEN bucket = 3 THEN 1700000000 - 45*86400
+                          ELSE NULL END AS BIGINT) AS orphan_stamp,
+                CAST(CASE WHEN link_m = 0 THEN 1.5 ELSE 1.0 END AS DOUBLE) AS new_score
+         FROM b""",
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                 count(*) AS n,

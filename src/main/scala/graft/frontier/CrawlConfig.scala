@@ -92,6 +92,17 @@ case class CrawlConfig(
     // have their outlinks suppressed at parse — depth max+1 URLs are never
     // discovered, so a maxDepth crawl can never fetch past it.
     scoringDepthMax: Int = 0,
+    // scoring-orphan plugin (reference src/plugin/scoring-orphan/
+    // OrphanScoringFilter.java:80-112): every row that receives an inlink
+    // during updatedb is stamped metadata["_orphan_"] = now (epoch seconds);
+    // a row with no inlinks this round keeps its stamp, and once the elapsed
+    // time exceeds markGoneAfter the row is marked db_gone (indexers drop
+    // it), past markOrphanAfter it is marked db_orphan (purgeable).
+    scoringOrphan: Boolean = false,
+    orphanGoneAfterSec: Long = 30L * 24 * 3600,   // scoring.orphan.mark.gone.after
+    orphanOrphanAfterSec: Long = 40L * 24 * 3600, // scoring.orphan.mark.orphan.after
+    purgeOrphans: Boolean = false,               // db.update.purge.orphans
+                                                 // (reference CrawlDbFilter.java:89-94)
     parseMetaToCrawlDb: Seq[String] = Nil,       // db.parsemeta.to.crawldb: parse_meta keys carried into
                                                  // the frontier row's metadata through updatedb
     // seen

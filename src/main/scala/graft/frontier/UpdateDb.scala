@@ -24,6 +24,25 @@ object UpdateDb {
 
   import CrawlStatus._
 
+  /** scoring-orphan: metadata key holding the last-inlinked time (epoch s) —
+    * the reference's `_orphan_` (OrphanScoringFilter.ORPHAN_KEY_WRITABLE). */
+  final val OrphanKey = "_orphan_"
+
+  /** The reference's OrphanScoringFilter.orphanedScore (scoring-orphan
+    * plugin :93-112): a row that was NOT inlinked this round is checked
+    * against its last-inlinked stamp; unlinked longer than markOrphanAfter ⇒
+    * db_orphan, longer than markGoneAfter ⇒ db_gone. Rows never stamped are
+    * left alone (the filter only acts once a stamp exists). */
+  def orphanedScore(e: FrontierEntry, cfg: CrawlConfig, now: Long): FrontierEntry =
+    e.metadata.get(OrphanKey).flatMap(_.toLongOption) match {
+      case Some(lastInlinked) =>
+        val elapsed = now / 1000L - lastInlinked
+        if (elapsed > cfg.orphanOrphanAfterSec) e.copy(status = DB_ORPHAN)
+        else if (elapsed > cfg.orphanGoneAfterSec) e.copy(status = DB_GONE)
+        else e
+      case None => e
+    }
+
   /** Pure per-URL merge. Exposed for the state-matrix spec. */
   def merge(
       url: String,
@@ -64,7 +83,13 @@ object UpdateDb {
       fetchIsLink = true
     }
     if (fetch == null && old == null) return None
-    if (fetch == null) return Some(toEntry(old, url)) // orphan: re-emit old unchanged
+    if (fetch == null) { // orphan: re-emit old unchanged (reference :155-172
+      // calls orphanedScore on exactly this not-fetched-not-linked path)
+      var pass = toEntry(old, url)
+      if (cfg.scoringOrphan) pass = orphanedScore(pass, cfg, now)
+      if (cfg.purgeOrphans && pass.status == DB_ORPHAN) return None
+      return Some(pass)
+    }
 
     // additions gate: never create rows for URLs outside the db
     if (!cfg.additionsAllowed && old == null && fetchIsLink) return None
@@ -138,7 +163,16 @@ object UpdateDb {
     if (cfg.purge404 && e.status == DB_GONE) return None
 
     // OPIC: score accumulates inlink credits (reference OPICScoringFilter.java:100-110)
-    Some(e.copy(score = e.score + linkCredit))
+    var out = e.copy(score = e.score + linkCredit)
+    // scoring-orphan updateDbScore (plugin :77-91): inlinked this round ⇒
+    // stamp last-inlinked = now; otherwise run the orphan/gone check
+    if (cfg.scoringOrphan) {
+      out =
+        if (inlinks.nonEmpty) out.copy(metadata = out.metadata + (OrphanKey -> (now / 1000L).toString))
+        else orphanedScore(out, cfg, now)
+      if (cfg.purgeOrphans && out.status == DB_ORPHAN) return None
+    }
+    Some(out)
   }
 
   private def toEntry(u: FrontierUpdate, url: String): FrontierEntry = {
@@ -183,11 +217,14 @@ object UpdateDb {
             } else (newCand, spark.emptyDataset[FrontierUpdate])
           val direct = newRows.map { u =>
             val host = Urls.hostOf(u.url)
+            // definitely-new link rows keep their metadata (depth stamp);
+            // scoring-orphan stamps them as inlinked-now (they ARE links)
+            val meta0 = Option(u.metadata).getOrElse(Map.empty[String, String])
+            val meta = if (cfg.scoringOrphan) meta0 + (OrphanKey -> (now / 1000L).toString) else meta0
             schedule.initialize(
               FrontierEntry(u.url, Urls.hash64(u.url), host, Urls.registeredDomainOf(host),
                 CrawlStatus.DB_UNFETCHED, now, 0, cfg.fetchIntervalDefault, u.score,
-                // definitely-new link rows keep their metadata (depth stamp)
-                null, 0L, null, -1L, Option(u.metadata).getOrElse(Map.empty)), now)
+                null, 0L, null, -1L, meta), now)
           }
           (seenSide.unionByName(backToJoin), Some(direct))
         case _ => (linked0, None)

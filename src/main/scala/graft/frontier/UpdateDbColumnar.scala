@@ -74,10 +74,15 @@ object UpdateDbColumnar {
             lit(0L).as("modified_time"),
             lit(null).cast("string").as("repr_url"),
             lit(-1L).as("generate_time"),
-            // definitely-new link rows keep their own metadata (depth stamp)
-            coalesce(col("metadata"),
-              map_from_arrays(array().cast("array<string>"), array().cast("array<string>")))
-              .as("metadata"))
+            // definitely-new link rows keep their own metadata (depth stamp);
+            // scoring-orphan stamps them as inlinked-now (they ARE links)
+            {
+              val base = coalesce(col("metadata"),
+                map_from_arrays(array().cast("array<string>"), array().cast("array<string>")))
+              if (cfg.scoringOrphan)
+                map_concat_safe(base, map(lit(UpdateDb.OrphanKey), lit((now / 1000L).toString))).as("metadata")
+              else base.as("metadata")
+            })
           (seenSide.unionByName(backToJoin).drop("_h").as[FrontierUpdate], Some(direct))
         case _ => (linked0, None)
       }
@@ -255,6 +260,25 @@ object UpdateDbColumnar {
     // interval overflow ⇒ forceRefetch (status unfetched, defaults, sig null)
     val overflow = hasFetch && isScheduled && (newInterval > cfg.fetchIntervalMax)
 
+    // scoring-orphan twin (reference plugin OrphanScoringFilter.java:77-112,
+    // same split as the typed path): a row inlinked this round gets a fresh
+    // last-inlinked stamp in metadata["_orphan_"]; every other emitted row
+    // runs the elapsed check on its post-state-machine status (incl. the
+    // overflow forceRefetch, which the typed path also resolves first).
+    val statusResolved = when(overflow, lit(DB_UNFETCHED)).otherwise(newStatus)
+    val (orphanStatus, orphanMeta): (Column, Column) =
+      if (!cfg.scoringOrphan) (statusResolved, newMeta)
+      else {
+        val nowSec = now / 1000L
+        val last = element_at(newMeta, lit(UpdateDb.OrphanKey)).try_cast("long")
+        val checked = when(last.isNotNull && (lit(nowSec) - last) > cfg.orphanOrphanAfterSec, lit(DB_ORPHAN))
+          .when(last.isNotNull && (lit(nowSec) - last) > cfg.orphanGoneAfterSec, lit(DB_GONE))
+          .otherwise(statusResolved)
+        (when(hasLink, statusResolved).otherwise(checked),
+         when(hasLink, map_concat_safe(newMeta, map(lit(UpdateDb.OrphanKey), lit(nowSec.toString))))
+           .otherwise(newMeta))
+      }
+
     val host = call_function("url_host", url)
     graft.functions.GraftFunctions.register(spark)
 
@@ -262,12 +286,13 @@ object UpdateDbColumnar {
       // drop: nothing at all, or link-only when additions are disallowed
       .filter(hasOld || hasFetch || (hasLink && lit(cfg.additionsAllowed)))
       .filter(lit(cfg.purge404) === false || newStatus =!= DB_GONE)
+      .filter(lit(cfg.purgeOrphans) === false || orphanStatus =!= DB_ORPHAN)
       .select(
         url.as("url"),
         coalesce(col("url_hash"), call_function("url_hash64", url)).as("url_hash"),
         coalesce(col("host"), host).as("host"),
         coalesce(col("domain"), call_function("url_domain", host)).as("domain"),
-        when(overflow, lit(DB_UNFETCHED)).otherwise(newStatus).cast("byte").as("status"),
+        orphanStatus.cast("byte").as("status"),
         when(overflow, coalesce(col("f_time"), lit(now))).otherwise(newTime).as("fetch_time"),
         when(overflow, lit(0)).otherwise(newRetries).cast("int").as("retries"),
         when(overflow, lit(cfg.fetchIntervalDefault)).otherwise(newInterval).cast("int").as("fetch_interval"),
@@ -279,7 +304,7 @@ object UpdateDbColumnar {
         // pass-through rows (typed-path twin of CrawlDbReducer.java:320)
         when(hasFetch || hasLink, lit(-1L))
           .otherwise(coalesce(col("o_gen"), lit(-1L))).as("generate_time"),
-        newMeta.as("metadata"))
+        orphanMeta.as("metadata"))
 
     val withDirect = directNew match {
       case Some(d) => result.unionByName(d)

@@ -170,6 +170,64 @@ object Relational {
       .select(col("url"), col("status").cast("int").as("new_status"), col("retries").as("new_retries"))
   }
 
+  /** §2.12 scoring-orphan plugin (reference src/plugin/scoring-orphan),
+    * driven through the REAL distributed UpdateDb.merge with
+    * cfg.scoringOrphan: rows inlinked this round get a fresh last-inlinked
+    * stamp; unlinked rows age into db_gone (>30 d) then db_orphan (>40 d).
+    * Inputs synthesized from orders; the oracle re-states the plugin's
+    * decision tree as SQL CASE over the same synthesis. */
+  def orphanStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = CrawlConfig(scoringOrphan = true)
+    val schedule = DefaultFetchSchedule(cfg)
+    val now = 1700000000000L
+    val nowSec = now / 1000L
+    val day = 86400L
+
+    val base = orders(s, dir).select(
+      concat(lit("u"), col("o_orderkey").cast("string")).as("url"),
+      (col("o_orderkey") % 2).as("fetch_m"),
+      (col("o_orderkey") % 3).as("link_m"),
+      (col("o_orderkey") % 4).as("bucket"))
+
+    // last-inlinked stamps: fresh (10 d), gone-old (35 d), orphan-old (45 d)
+    val stamp = when(col("bucket") === 1, lit((nowSec - 10 * day).toString))
+      .when(col("bucket") === 2, lit((nowSec - 35 * day).toString))
+      .otherwise(lit((nowSec - 45 * day).toString))
+    val olds = base.select(col("url"), lit("old").as("kind"),
+      lit(1).cast("byte").as("status"),
+      lit(now - 1000L).as("fetch_time"), lit(0).as("retries"),
+      lit(cfg.fetchIntervalDefault).as("fetch_interval"), lit(1.0f).as("score"),
+      lit(null).cast("binary").as("signature"), lit(0L).as("modified_time"),
+      lit(null).cast("string").as("repr_url"),
+      when(col("bucket") === 0, typedLit(Map.empty[String, String]))
+        .otherwise(map(lit(UpdateDb.OrphanKey), stamp)).as("metadata"),
+      lit(-1L).as("generate_time")).as[FrontierUpdate]
+    val fetches = base.filter(col("fetch_m") === 0)
+      .select(col("url"), lit("fetch").as("kind"),
+        lit(0x21).cast("byte").as("status"), lit(now).as("fetch_time"),
+        lit(0).as("retries"), lit(cfg.fetchIntervalDefault).as("fetch_interval"),
+        lit(1.0f).as("score"), lit(null).cast("binary").as("signature"),
+        lit(0L).as("modified_time"), lit(null).cast("string").as("repr_url"),
+        typedLit(Map.empty[String, String]).as("metadata"),
+        lit(-1L).as("generate_time")).as[FrontierUpdate]
+    val links = base.filter(col("link_m") === 0)
+      .select(col("url"), lit("linked").as("kind"),
+        lit(1).cast("byte").as("status"), lit(now).as("fetch_time"),
+        lit(0).as("retries"), lit(cfg.fetchIntervalDefault).as("fetch_interval"),
+        lit(0.5f).as("score"), lit(null).cast("binary").as("signature"),
+        lit(0L).as("modified_time"), lit(null).cast("string").as("repr_url"),
+        typedLit(Map.empty[String, String]).as("metadata"),
+        lit(-1L).as("generate_time")).as[FrontierUpdate]
+
+    olds.unionByName(fetches).unionByName(links)
+      .groupByKey(_.url)
+      .flatMapGroups((url, it) => UpdateDb.merge(url, it, cfg, schedule, now).iterator)
+      .select(col("url"), col("status").cast("int").as("new_status"),
+        element_at(col("metadata"), lit(UpdateDb.OrphanKey)).cast("long").as("orphan_stamp"),
+        col("score").cast("double").as("new_score"))
+  }
+
   /** §2.11 incremental/streaming shape: tumbling-window aggregation. */
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
