@@ -53,6 +53,12 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Relational.documents(s, dir)
 
+  /** Gold-standard text for q_similarity_score — term counts chosen so the
+    * gold L2 norm is exactly sqrt(16) = 4.0 (join ×2, scan ×2, rest ×1),
+    * keeping the DuckDB mirror's float path literal-for-literal identical. */
+  private val SimilarityGoldText =
+    "spark sql query plan join filter scan aggregate shuffle partition join scan"
+
   /** documents augmented with exact duplicates (doc_id+10000 for doc_id<20)
     * so dedup operators have guaranteed positives at every SF. */
   private def docsAug(s: SparkSession, dir: String): DataFrame = {
@@ -109,6 +115,10 @@ object SparkEntry {
     "q_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
     // --- scoring-orphan plugin through the real updatedb merge ---
     "q_orphan_status" -> (Relational.orphanStatus _),
+    // --- scoring-similarity: gold-standard TF-cosine over documents ---
+    "q_similarity_score" -> ((s, d) => graft.score.SimilarityScoring.scoreDocs(
+      docs(s, d), "doc_id", "text",
+      graft.score.SimilarityScoring.goldModel(SimilarityGoldText))),
     // --- multimodal plumbing ---
     "q_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(docs(s, d))),
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs(s, d))).toDF()),
@@ -287,6 +297,23 @@ object SparkEntry {
          SELECT doc_id, title, n_text + n_link + n_media AS n_spans,
                 n_text, n_link, n_media, links, anchors, medias
          FROM c""",
+    "q_similarity_score" ->
+      """WITH toks AS (
+           SELECT doc_id, t AS tok
+           FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(t)
+           WHERE t <> '' AND t NOT IN
+             ('a','an','and','are','as','at','be','but','by','for','if','in','into','is','it',
+              'no','not','of','on','or','such','that','the','their','then','there','these',
+              'they','this','to','was','will','with')),
+         tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         g(tok, gcnt) AS (VALUES ('spark',1),('sql',1),('query',1),('plan',1),('join',2),
+                                 ('filter',1),('scan',2),('aggregate',1),('shuffle',1),('partition',1)),
+         agg AS (
+           SELECT tf.doc_id, sum(tf.cnt * coalesce(g.gcnt, 0)) AS dot, sum(tf.cnt * tf.cnt) AS nsq
+           FROM tf LEFT JOIN g ON tf.tok = g.tok GROUP BY 1)
+         SELECT doc_id,
+                CAST(floor(CAST(dot AS DOUBLE) / (sqrt(CAST(nsq AS DOUBLE)) * sqrt(16)) * 1000000) AS BIGINT) AS score_ppm
+         FROM agg""",
     "q_token_count" ->
       """SELECT doc_id, len(str_split(trim(text), ' ')) AS n_tokens, length(text) AS n_chars_actual
          FROM documents""",

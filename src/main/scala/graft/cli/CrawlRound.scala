@@ -135,10 +135,19 @@ object CrawlRound {
     // --- fetch (politeness executor, partition-local) ---
     val metricsAcc: CollectionAccumulator[FetchPartitionMetrics] =
       spark.sparkContext.collectionAccumulator[FetchPartitionMetrics]("fetch_metrics")
-    val pages: Dataset[FetchedPage] = fetchlist.mapPartitions { it =>
+    val pages0: Dataset[FetchedPage] = fetchlist.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       PolitenessExecutor.run(pid, it, fetcher, cfg, now, round, metricsAcc.add(_))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // scoring-similarity: parsed pages re-scored by cosine vs the gold
+    // standard BEFORE anything consumes them (passScoreAfterParsing) — the
+    // gold model is driver-tiny and rides the task closure
+    val pages: Dataset[FetchedPage] = (cfg.scoringSimilarityGold match {
+      case Some(goldText) =>
+        graft.score.SimilarityScoring.rescorePages(pages0,
+          graft.score.SimilarityScoring.goldModel(goldText))
+      case None => pages0
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // job 1: write fetched (materializes generate → fetch → pages; counts observed)
     // fetched/parsed/side tables are per-round derived outputs: history replay

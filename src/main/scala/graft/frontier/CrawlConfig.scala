@@ -98,6 +98,15 @@ case class CrawlConfig(
     // a row with no inlinks this round keeps its stamp, and once the elapsed
     // time exceeds markGoneAfter the row is marked db_gone (indexers drop
     // it), past markOrphanAfter it is marked db_orphan (purgeable).
+    // scoring-similarity plugin (reference src/plugin/scoring-similarity):
+    // Some(goldText) switches scoring from OPIC to gold-standard cosine —
+    // parsed pages are re-scored by TF-cosine similarity to this text
+    // (CosineSimilarity.setURLScoreAfterParsing), outlink targets inherit
+    // the FULL page score (distributeScoreToOutlinks — no 1/n split), and
+    // updatedb keeps scores instead of summing credits (the plugin leaves
+    // updateDbScore as the no-op AbstractScoringFilter default), so the
+    // generator prioritizes pages similar to the gold standard.
+    scoringSimilarityGold: Option[String] = None,
     scoringOrphan: Boolean = false,
     orphanGoneAfterSec: Long = 30L * 24 * 3600,   // scoring.orphan.mark.gone.after
     orphanOrphanAfterSec: Long = 40L * 24 * 3600, // scoring.orphan.mark.orphan.after

@@ -162,8 +162,17 @@ object UpdateDb {
 
     if (cfg.purge404 && e.status == DB_GONE) return None
 
-    // OPIC: score accumulates inlink credits (reference OPICScoringFilter.java:100-110)
-    var out = e.copy(score = e.score + linkCredit)
+    // Scoring: OPIC accumulates inlink credits (reference
+    // OPICScoringFilter.java:100-110). scoring-similarity instead takes the
+    // page's own similarity score from the fetch datum (stamped at parse),
+    // keeps existing rows' scores on link-only updates (updateDbScore is a
+    // no-op for that plugin), and new link-only rows inherit the best
+    // parent's score (the reference's link-triggered datum).
+    var out =
+      if (cfg.scoringSimilarityGold.isEmpty) e.copy(score = e.score + linkCredit)
+      else if (!fetchIsLink) e.copy(score = fetch.score)
+      else if (old != null) e
+      else e.copy(score = inlinks.iterator.map(_.score).max)
     // scoring-orphan updateDbScore (plugin :77-91): inlinked this round ⇒
     // stamp last-inlinked = now; otherwise run the orphan/gone check
     if (cfg.scoringOrphan) {

@@ -95,10 +95,14 @@ object UpdateDbColumnar {
       col("modified_time").as("o_mod"), col("repr_url").as("o_repr"),
       col("metadata").as("o_meta"), col("generate_time").as("o_gen"))
 
-    val f0 = fetched.toDF().select(
+    // similarity mode needs the fetch row's own score (the page's cosine
+    // score stamped at parse); the default OPIC path ships no extra column
+    val simOn = cfg.scoringSimilarityGold.isDefined
+    val f0 = fetched.toDF().select(Seq(
       col("url").as("f_url"), col("status").as("f_status"),
       col("fetch_time").as("f_time"), col("signature").as("f_sig"),
-      col("repr_url").as("f_repr"), col("metadata").as("f_meta"))
+      col("repr_url").as("f_repr"), col("metadata").as("f_meta")) ++
+      (if (simOn) Seq(col("score").as("f_score")) else Nil): _*)
     // the join assumes ONE fetch row per URL; with in-task redirect OR
     // outlink follow the same URL can be fetched twice (two partitions
     // follow to one target, or a followed target was also generated) —
@@ -113,10 +117,12 @@ object UpdateDbColumnar {
           col("score").as("f_score"))
         f0s.groupBy(col("f_url"))
           .agg(max_by(
-            struct(col("f_status"), col("f_time"), col("f_sig"), col("f_repr"), col("f_meta")),
+            struct(col("f_status"), col("f_time"), col("f_sig"), col("f_repr"), col("f_meta"),
+              col("f_score")),
             struct(col("f_time"), col("f_status"), col("f_score"))).as("_w"))
-          .select(col("f_url"), col("_w.f_status").as("f_status"), col("_w.f_time").as("f_time"),
-            col("_w.f_sig").as("f_sig"), col("_w.f_repr").as("f_repr"), col("_w.f_meta").as("f_meta"))
+          .select(Seq(col("f_url"), col("_w.f_status").as("f_status"), col("_w.f_time").as("f_time"),
+            col("_w.f_sig").as("f_sig"), col("_w.f_repr").as("f_repr"), col("_w.f_meta").as("f_meta")) ++
+            (if (simOn) Seq(col("_w.f_score").as("f_score")) else Nil): _*)
       }
 
     // link metadata only exists when depth scoring stamps it — the default
@@ -254,8 +260,16 @@ object UpdateDbColumnar {
       .when(hasOld, coalesce(col("o_meta"), emptyMeta))
       .otherwise(coalesce(col("l_meta"), emptyMeta))
 
-    // OPIC credit
-    val newScore = (bScore + coalesce(col("l_credit"), lit(0.0f))).cast("float")
+    // Scoring: OPIC sums credits; similarity takes the fetch row's own
+    // cosine score, keeps old scores on link-only rows, and lets new
+    // link-only rows inherit the (max-pre-aggregated) parent score — the
+    // exact twin of the typed merge's scoring branch.
+    val newScore =
+      if (simOn)
+        when(hasFetch, col("f_score"))
+          .when(hasOld, bScore)
+          .otherwise(coalesce(col("l_credit"), lit(0.0f))).cast("float")
+      else (bScore + coalesce(col("l_credit"), lit(0.0f))).cast("float")
 
     // interval overflow ⇒ forceRefetch (status unfetched, defaults, sig null)
     val overflow = hasFetch && isScheduled && (newInterval > cfg.fetchIntervalMax)

@@ -95,7 +95,10 @@ object Parse {
       .filter(lit(!cfg.ignoreExternalLinks) || col("internal") || col("l.kind") === "redirect")
     val exploded = exploded0
       .withColumn("child_score",
-        when(col("l.kind") === "redirect", col("score"))
+        // scoring-similarity: every target inherits the FULL page score
+        // (SimilarityScoringFilter.distributeScoreToOutlinks — no 1/n split)
+        if (cfg.scoringSimilarityGold.isDefined) col("score")
+        else when(col("l.kind") === "redirect", col("score"))
           .otherwise(col("score") / col("n") *
             when(col("internal"), lit(cfg.scoreInternalFactor)).otherwise(lit(cfg.scoreExternalFactor))))
 
@@ -106,6 +109,13 @@ object Parse {
     // URLs within the cap get sum == capped sum; the rare over-cap URLs are
     // resolved exactly against the raw credits (top-K by score).
     val depthOn = cfg.scoringDepthMax > 0
+    // similarity mode: one row per target must carry the BEST parent score
+    // (the reference's link-triggered new row takes one parent's score, not
+    // a sum — updateDbScore is a no-op for this plugin), so the pre-agg is
+    // max, not sum. OPIC mode sums credits as before.
+    def creditAgg =
+      if (cfg.scoringSimilarityGold.isDefined) max(col("child_score")).as("credit")
+      else sum(col("child_score")).as("credit")
     val perLink = exploded.select(Seq(col("to_url"), col("fetch_time"),
       col("child_score")) ++ (if (depthOn) Seq(col("child_depth")) else Nil): _*)
     // depth agg (shortest path wins — reference min) only when scoring-depth
@@ -113,7 +123,7 @@ object Parse {
     def depthAgg = min(col("child_depth")).as("depth")
     val agg = perLink
       .groupBy(col("to_url"))
-      .agg(sum(col("child_score")).as("credit"),
+      .agg(creditAgg,
         (Seq(count(lit(1)).as("n_links"),
           max(col("fetch_time")).as("fetch_time")) ++
           (if (depthOn) Seq(depthAgg) else Nil)): _*)
@@ -129,7 +139,7 @@ object Parse {
         org.apache.spark.sql.expressions.Window.partitionBy("to_url").orderBy(desc("child_score"))))
       .filter(col("_rk") <= cfg.maxInlinks)
       .groupBy(col("to_url"))
-      .agg(sum(col("child_score")).as("credit"),
+      .agg(creditAgg,
         (Seq(max(col("fetch_time")).as("fetch_time")) ++
           (if (depthOn) Seq(depthAgg) else Nil)): _*)
       .transform(df => if (depthOn) df else df.withColumn("depth", lit(1)))
