@@ -115,6 +115,8 @@ object SparkEntry {
     "q_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
     // --- scoring-orphan plugin through the real updatedb merge ---
     "q_orphan_status" -> (Relational.orphanStatus _),
+    // --- IndexingFilter plugin chain (basic/more/tld/subcollection/mime/static) ---
+    "q_index_fields" -> (Relational.indexFields _),
     // --- scoring-similarity: gold-standard TF-cosine over documents ---
     "q_similarity_score" -> ((s, d) => graft.score.SimilarityScoring.scoreDocs(
       docs(s, d), "doc_id", "text",
@@ -297,6 +299,19 @@ object SparkEntry {
          SELECT doc_id, title, n_text + n_link + n_media AS n_spans,
                 n_text, n_link, n_media, links, anchors, medias
          FROM c""",
+    "q_index_fields" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k,
+                           CAST(doc_id % 3 AS INTEGER) AS cls, text
+                    FROM documents)
+         SELECT doc_id,
+                CASE WHEN cls = 0 THEN 'sub.site' || k || '.co.uk' ELSE 'site' || k || '.org' END AS host,
+                CASE WHEN cls = 0 THEN 'co.uk' ELSE 'org' END AS tld,
+                substr(text, 1, 40) AS title,
+                'text/html' AS type, 'text' AS primary_type, 'html' AS sub_type,
+                length(text) AS content_length,
+                CASE WHEN cls = 0 THEN 'docs' WHEN k LIKE '9%' THEN NULL ELSE 'org' END AS subcollection,
+                'graft' AS site_tag
+         FROM b WHERE cls <> 1""",
     "q_similarity_score" ->
       """WITH toks AS (
            SELECT doc_id, t AS tok

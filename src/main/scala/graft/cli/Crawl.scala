@@ -263,8 +263,12 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
 
   /** Index export (the reference's `index` stage, IndexWriters sinks reduced
     * to a searchable table): one row per successfully parsed doc of a round —
-    * url, host, title (first text span), full text, score, signature. */
-  def exportIndex(roundNo: Int): Option[DataFrame] = {
+    * url, host, title (first text span), full text, score, signature —
+    * optionally pushed through an IndexingFilter chain (the reference's
+    * index-basic/index-more/tld/subcollection/mimetype-filter/... plugins). */
+  def exportIndex(
+      roundNo: Int,
+      chain: graft.index.IndexingFilterChain = graft.index.IndexingFilterChain(Nil)): Option[DataFrame] = {
     import org.apache.spark.sql.functions._
     parsed(roundNo).map { p =>
       val textSpans = filter(col("spans"), s => s.getField("kind") === "text")
@@ -274,7 +278,7 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
         concat_ws(" ", transform(textSpans, s => s.getField("text"))).as("text"),
         col("score"), hex(col("signature")).as("signature"), col("round"))
       graft.functions.GraftFunctions.register(spark)
-      val indexed = doc.withColumn("host", call_function("url_host", col("url")))
+      val indexed = chain(doc.withColumn("host", call_function("url_host", col("url"))))
       // per-round derived output: re-exporting an older round after a newer
       // one is a normal operation (allowRewind, like fetched/parsed/host_stats)
       store.commit("index", indexed, roundNo, allowRewind = true)

@@ -23,7 +23,8 @@ object GraftFunctions {
     "text_fingerprint64" -> ((es: Seq[Expression]) => TextFingerprint64(es.head)),
     "text_bpe_count" -> ((es: Seq[Expression]) => TextBpeCount(es.head)),
     "mime_resolve" -> ((es: Seq[Expression]) => MimeResolve(es(0), es(1))),
-    "url_surt" -> ((es: Seq[Expression]) => UrlSurt(es.head))
+    "url_surt" -> ((es: Seq[Expression]) => UrlSurt(es.head)),
+    "url_tld" -> ((es: Seq[Expression]) => PublicSuffixOf(es.head))
   )
 
   // sessions already registered — createOrReplaceTempFunction WARNs on every

@@ -77,6 +77,15 @@ case class RegisteredDomainOf(child: Expression) extends StaticStringExpr {
   override def prettyName: String = "url_domain"
 }
 
+/** Public suffix (effective TLD) of a host — the reference's tld plugin
+  * (src/plugin/tld TLDIndexingFilter uses URLUtil.getTopLevelDomain). */
+case class PublicSuffixOf(child: Expression) extends StaticStringExpr {
+  override def staticFn: String = "graft.url.PublicSuffix.publicSuffixOf"
+  override def eval0(s: String): String = graft.url.PublicSuffix.publicSuffixOf(s)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "url_tld"
+}
+
 /** 64-bit URL-seen hash (MurmurHash2-64 of the canonical URL). */
 case class UrlHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -1,0 +1,172 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The reference's IndexingFilter plugin chain (reference
+  * src/java/org/apache/nutch/indexer/IndexingFilters.java), re-expressed as
+  * composable DataFrame column transforms: each filter either adds fields to
+  * every index document or drops documents, and the chain folds left in
+  * order (a dropped doc never reaches later filters), exactly like the
+  * reference's sequential `filter(doc, ...)` loop where a null return kills
+  * the document.
+  *
+  * All transforms are pure column expressions — the whole chain stays inside
+  * whole-stage codegen, no UDFs, no shuffles. Input documents carry at least
+  * (url, title, text); optional columns (content_type, fetch_time,
+  * parse_meta) enable the corresponding fields.
+  */
+trait IndexingFilter {
+  def name: String
+  def apply(docs: DataFrame): DataFrame
+}
+
+object IndexingFilter {
+  private[index] def hasCol(df: DataFrame, c: String): Boolean = df.columns.contains(c)
+}
+
+/** index-basic (BasicIndexingFilter.java:70-130): host field, title/content
+  * truncation (indexer.max.title.length = 100, indexer.max.content.length =
+  * -1 ⇒ unlimited), tstamp from the fetch time when present. */
+case class BasicFieldsFilter(maxTitleLength: Int = 100, maxContentLength: Int = -1)
+    extends IndexingFilter {
+  override def name: String = "index-basic"
+  override def apply(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    var d = docs
+    if (!IndexingFilter.hasCol(d, "host"))
+      d = d.withColumn("host", call_function("url_host", col("url")))
+    if (maxTitleLength > -1 && IndexingFilter.hasCol(d, "title"))
+      d = d.withColumn("title", substring(col("title"), 1, maxTitleLength))
+    if (maxContentLength > -1 && IndexingFilter.hasCol(d, "text"))
+      d = d.withColumn("text", substring(col("text"), 1, maxContentLength))
+    if (IndexingFilter.hasCol(d, "fetch_time"))
+      d = d.withColumn("tstamp", col("fetch_time"))
+    d
+  }
+}
+
+/** index-more (MoreIndexingFilter.java addType/addLength): `type` = resolved
+  * mime, primary/sub split, content_length from an existing column or the
+  * text octet length (no HTTP headers survive to the index table here). */
+case class MoreFieldsFilter() extends IndexingFilter {
+  override def name: String = "index-more"
+  override def apply(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val mime: Column =
+      if (IndexingFilter.hasCol(docs, "mime")) col("mime")
+      else call_function("mime_resolve",
+        if (IndexingFilter.hasCol(docs, "content_type")) col("content_type")
+        else lit(null).cast("string"),
+        col("url"))
+    docs
+      .withColumn("type", mime)
+      .withColumn("primary_type", split(col("type"), "/").getItem(0))
+      .withColumn("sub_type", split(col("type"), "/").getItem(1))
+      .withColumn("content_length",
+        if (IndexingFilter.hasCol(docs, "content_length")) col("content_length")
+        else octet_length(coalesce(col("text"), lit(""))).cast("long"))
+  }
+}
+
+/** tld plugin (TLDIndexingFilter): public-suffix field of the host. */
+case class TldFilter() extends IndexingFilter {
+  override def name: String = "tld"
+  override def apply(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val host =
+      if (IndexingFilter.hasCol(docs, "host")) col("host")
+      else call_function("url_host", col("url"))
+    docs.withColumn("tld", call_function("url_tld", host))
+  }
+}
+
+/** subcollection plugin (SubcollectionIndexingFilter + Subcollection
+  * .filter: whitelist prefix match, blacklist veto): every matching
+  * collection name lands in the field, comma-joined (the reference emits
+  * one multi-valued field). */
+case class SubcollectionDef(
+    name: String,
+    whitePrefixes: Seq[String],
+    blackPrefixes: Seq[String] = Nil,
+    caseInsensitive: Boolean = false)
+
+case class SubcollectionFilter(
+    defs: Seq[SubcollectionDef],
+    fieldName: String = "subcollection") extends IndexingFilter {
+  override def name: String = "subcollection"
+  override def apply(docs: DataFrame): DataFrame = {
+    def urlCol(ci: Boolean): Column = if (ci) lower(col("url")) else col("url")
+    def pfx(p: String, ci: Boolean): String = if (ci) p.toLowerCase else p
+    val matches: Seq[Column] = defs.map { d =>
+      val u = urlCol(d.caseInsensitive)
+      val white = d.whitePrefixes.map(p => u.startsWith(pfx(p, d.caseInsensitive)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val black = d.blackPrefixes.map(p => u.startsWith(pfx(p, d.caseInsensitive)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      when(white && !black, lit(d.name))
+    }
+    docs.withColumn(fieldName,
+      when(concat_ws(",", matches: _*) === "", lit(null).cast("string"))
+        .otherwise(concat_ws(",", matches: _*)))
+  }
+}
+
+/** mimetype-filter plugin (MimeTypeIndexingFilter): ordered ±rules over the
+  * resolved mime (exact or `prefix/ *` glob); first match decides, no match
+  * falls to `defaultAccept` (the reference's acceptMode). Documents that are
+  * denied are DROPPED from the index. */
+case class MimeTypeFilter(
+    rules: Seq[(Boolean, String)],
+    defaultAccept: Boolean = true) extends IndexingFilter {
+  override def name: String = "mimetype-filter"
+  override def apply(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val mime: Column =
+      if (IndexingFilter.hasCol(docs, "type")) col("type")
+      else if (IndexingFilter.hasCol(docs, "mime")) col("mime")
+      else call_function("mime_resolve",
+        if (IndexingFilter.hasCol(docs, "content_type")) col("content_type")
+        else lit(null).cast("string"),
+        col("url"))
+    def matches(pattern: String): Column =
+      if (pattern.endsWith("/*")) mime.startsWith(pattern.dropRight(1))
+      else mime === pattern
+    val verdict = rules.foldLeft(when(lit(false), lit(true))) {
+      case (acc, (accept, pattern)) => acc.when(matches(pattern), lit(accept))
+    }.otherwise(lit(defaultAccept))
+    docs.filter(verdict)
+  }
+}
+
+/** index-static (StaticFieldIndexer): constant fields on every document. */
+case class StaticFieldsFilter(fields: Map[String, String]) extends IndexingFilter {
+  override def name: String = "index-static"
+  override def apply(docs: DataFrame): DataFrame =
+    fields.toSeq.sortBy(_._1).foldLeft(docs) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+}
+
+/** index-metadata: lift configured parse_meta/metadata map keys into
+  * top-level fields (missing keys ⇒ null field, like the reference). */
+case class MetadataFieldsFilter(keys: Seq[String], mapCol: String = "parse_meta")
+    extends IndexingFilter {
+  override def name: String = "index-metadata"
+  override def apply(docs: DataFrame): DataFrame =
+    if (!IndexingFilter.hasCol(docs, mapCol)) docs
+    else keys.foldLeft(docs)((d, k) => d.withColumn(k, element_at(col(mapCol), k)))
+}
+
+/** index-jexl-filter: drop documents failing a configured predicate — the
+  * JEXL expression surface re-based on Spark SQL (same documented API change
+  * as the generator's expression filter). */
+case class ExprIndexingFilter(predicate: String) extends IndexingFilter {
+  override def name: String = "index-jexl-filter"
+  override def apply(docs: DataFrame): DataFrame = docs.filter(expr(predicate))
+}
+
+/** Ordered chain; fold-left like the reference's IndexingFilters loop. */
+case class IndexingFilterChain(filters: Seq[IndexingFilter]) {
+  def apply(docs: DataFrame): DataFrame = filters.foldLeft(docs)((d, f) => f(d))
+}

@@ -298,6 +298,36 @@ object Relational {
       .withColumn("mime", call_function("mime_resolve", col("content_type"), col("url")))
   }
 
+  /** §2.1 the IndexingFilter plugin chain (index-basic, index-more, tld,
+    * subcollection, mimetype-filter, index-static) over synthesized index
+    * docs: three URL classes, image docs dropped by the mime glob rule, one
+    * subcollection blacklisted by prefix. The oracle re-states every
+    * produced field. */
+  def indexFields(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.index._
+    val k = col("doc_id").cast("string")
+    val url = when(col("doc_id") % 3 === 0,
+        concat(lit("http://sub.site"), k, lit(".co.uk/docs/page"), k, lit(".html")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("http://www.site"), k, lit(".com/pub/img"), k, lit(".png")))
+      .otherwise(concat(lit("http://site"), k, lit(".org/page"), k))
+    val docs0 = documents(s, dir).select(col("doc_id"), url.as("url"),
+      substring(col("text"), 1, 150).as("title"), col("text"))
+    val chain = IndexingFilterChain(Seq(
+      BasicFieldsFilter(maxTitleLength = 40),
+      MoreFieldsFilter(),
+      TldFilter(),
+      SubcollectionFilter(Seq(
+        SubcollectionDef("docs", Seq("http://sub.")),
+        SubcollectionDef("org", Seq("http://site"), blackPrefixes = Seq("http://site9")))),
+      MimeTypeFilter(Seq(false -> "image/*"), defaultAccept = true),
+      StaticFieldsFilter(Map("site_tag" -> "graft"))))
+    chain(docs0).select(col("doc_id"), col("host"), col("tld"), col("title"),
+      col("type"), col("primary_type"), col("sub_type"), col("content_length"),
+      col("subcollection"), col("site_tag"))
+  }
+
   /** §2.5 segment merge: latest row per key across segments (SegmentMerger
     * semantics) — one shuffle, partial-aggregated max_by, the exact plan
     * SegmentTools.mergeRounds uses. */

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.index._
+
+/** IndexingFilter chain semantics (reference IndexingFilters.java + the
+  * index-basic / index-more / tld / subcollection / mimetype-filter /
+  * index-static / index-metadata / index-jexl-filter plugins). */
+class IndexingFiltersSpec extends AnyFunSuite with SparkSpecBase {
+
+  import spark.implicits._
+
+  def docs0 = Seq(
+    ("http://sub.example.co.uk/a/page.html", "A Long Title Far Beyond The Max", "hello world content", 1700000000000L),
+    ("http://www.example.com/img/pic.png", "Pic", "binary-ish", 1700000001000L),
+    ("http://other.org/p", "Other", "plain words here", 1700000002000L)
+  ).toDF("url", "title", "text", "fetch_time")
+
+  test("index-basic: host, title truncation, tstamp") {
+    val out = BasicFieldsFilter(maxTitleLength = 10)(docs0)
+    val r = out.orderBy("url").collect()
+    assert(out.columns.contains("host") && out.columns.contains("tstamp"))
+    val byUrl = r.map(x => x.getAs[String]("url") -> x).toMap
+    assert(byUrl("http://sub.example.co.uk/a/page.html").getAs[String]("host") == "sub.example.co.uk")
+    assert(byUrl("http://sub.example.co.uk/a/page.html").getAs[String]("title") == "A Long Tit")
+    assert(byUrl("http://other.org/p").getAs[Long]("tstamp") == 1700000002000L)
+  }
+
+  test("index-more: type split + content_length") {
+    val out = MoreFieldsFilter()(docs0)
+    val byUrl = out.collect().map(x => x.getAs[String]("url") -> x).toMap
+    val html = byUrl("http://sub.example.co.uk/a/page.html")
+    assert(html.getAs[String]("type") == "text/html")
+    assert(html.getAs[String]("primary_type") == "text")
+    assert(html.getAs[String]("sub_type") == "html")
+    assert(html.getAs[Long]("content_length") == "hello world content".length.toLong)
+    assert(byUrl("http://www.example.com/img/pic.png").getAs[String]("type") == "image/png")
+  }
+
+  test("tld: public-suffix field") {
+    val out = TldFilter()(docs0)
+    val tlds = out.select("url", "tld").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tlds("http://sub.example.co.uk/a/page.html") == "co.uk")
+    assert(tlds("http://other.org/p") == "org")
+  }
+
+  test("subcollection: whitelist prefix, blacklist veto, multi-membership") {
+    val f = SubcollectionFilter(Seq(
+      SubcollectionDef("uk", Seq("http://sub.example.co.uk")),
+      SubcollectionDef("all", Seq("http://")),
+      SubcollectionDef("nope", Seq("http://"), blackPrefixes = Seq("http://"))))
+    val out = f(docs0).select("url", "subcollection").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("http://sub.example.co.uk/a/page.html") == "uk,all")
+    assert(out("http://other.org/p") == "all")
+  }
+
+  test("mimetype-filter: ordered rules drop documents; first match wins") {
+    val out = MimeTypeFilter(Seq(false -> "image/*"), defaultAccept = true)(MoreFieldsFilter()(docs0))
+    assert(out.count() == 2)
+    assert(!out.select("url").as[String].collect().exists(_.contains("png")))
+    val acceptOnly = MimeTypeFilter(Seq(true -> "image/png", false -> "image/*"),
+      defaultAccept = false)(MoreFieldsFilter()(docs0))
+    assert(acceptOnly.select("url").as[String].collect().toSeq == Seq("http://www.example.com/img/pic.png"))
+  }
+
+  test("index-static + index-metadata + expr filter") {
+    val withMeta = docs0.withColumn("parse_meta",
+      map(lit("author"), concat(lit("au-"), col("url"))))
+    val chain = IndexingFilterChain(Seq(
+      StaticFieldsFilter(Map("site" -> "graft", "tier" -> "crawl")),
+      MetadataFieldsFilter(Seq("author", "missing_key")),
+      ExprIndexingFilter("url NOT LIKE '%png%'")))
+    val out = chain(withMeta)
+    assert(out.count() == 2)
+    val r = out.filter(col("url").contains("other")).collect().head
+    assert(r.getAs[String]("site") == "graft" && r.getAs[String]("tier") == "crawl")
+    assert(r.getAs[String]("author") == "au-http://other.org/p")
+    assert(r.getAs[String]("missing_key") == null)
+  }
+
+  test("exportIndex runs the chain end-to-end on a real crawl round") {
+    import graft.cli.CrawlRound
+    import graft.fixtures.{SyntheticWeb, WebConfig}
+    import graft.frontier.CrawlConfig
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val cfg = CrawlConfig(topN = 200, maxPerHost = 40, numFetchPartitions = 2,
+      serverDelayMs = 200, fetchLatencyMs = 5)
+    val web = SyntheticWeb(WebConfig(nHosts = 4, pagesPerHost = 10, hotFactor = 2))
+    val (store, _) = CrawlRound.syntheticCrawl(spark, web, cfg, rounds = 1, tmp)
+    val crawl = graft.cli.Crawl(spark, tmp, cfg, graft.fetch.SyntheticFetcher(web, 5))
+    val chain = IndexingFilterChain(Seq(
+      BasicFieldsFilter(), MoreFieldsFilter(), TldFilter(),
+      StaticFieldsFilter(Map("collection" -> "test"))))
+    val idx = crawl.exportIndex(1, chain).get
+    assert(idx.count() > 0)
+    assert(Seq("host", "type", "primary_type", "tld", "collection").forall(idx.columns.contains))
+    assert(idx.select("collection").distinct().as[String].collect().toSeq == Seq("test"))
+  }
+}
