@@ -25,6 +25,15 @@ trait DocParser extends Serializable {
   def needsText: Boolean = true
 }
 
+/** A parser whose fetched container emits MULTIPLE parsed documents — the
+  * reference's ParseResult multi-entry semantics (ParseResult.java:41-116).
+  * `parse` degrades to the container (head) document's spans. */
+trait MultiDocParser extends DocParser {
+  def resultDocs(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[SubDoc]
+  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
+    resultDocs(url, text, content, cfg).head.spans
+}
+
 /** text/html + application/xhtml+xml → the real DOM-walking parser. */
 object HtmlDocParser extends DocParser {
   override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
@@ -43,16 +52,22 @@ object PlainTextDocParser extends DocParser {
 /** XML: sitemap documents (urlset/sitemapindex per sitemaps.org — the
   * reference parses them via crawler-commons SiteMapParser in
   * util/SitemapProcessor.java) yield their <loc> URLs as link spans;
-  * any other XML degrades to one text span. */
-object XmlDocParser extends DocParser {
+  * RSS/Atom content served as generic XML is sniffed and delegated to the
+  * feed parser (multi-doc); any other XML degrades to one text span. */
+object XmlDocParser extends MultiDocParser {
   private val Loc = "(?s)<loc>\\s*(.*?)\\s*</loc>".r
-  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
-    if (text.contains("<urlset") || text.contains("<sitemapindex")) {
-      Loc.findAllMatchIn(text).map(_.group(1))
+  override def resultDocs(url: String, text: String, content: Array[Byte],
+                          cfg: CrawlConfig): Seq[SubDoc] = {
+    if (FeedDocParser.looksLikeFeed(text))
+      FeedDocParser.resultDocs(url, text, content, cfg)
+    else if (text.contains("<urlset") || text.contains("<sitemapindex")) {
+      val spans = Loc.findAllMatchIn(text).map(_.group(1))
         .map(Html.decodeEntities).filter(_.nonEmpty)
         .zipWithIndex.map { case (loc, i) => Span("link", null, loc, i) }
         .toSeq
-    } else PlainTextDocParser.parse(url, text, content, cfg)
+      Seq(SubDoc(url, "application/xml", spans))
+    } else
+      Seq(SubDoc(url, "application/xml", PlainTextDocParser.parse(url, text, content, cfg)))
   }
 }
 
@@ -79,19 +94,17 @@ final case class SubDoc(url: String, contentType: String, spans: Seq[Span])
   * sub-document carrying its own text, so the container keeps just the
   * member manifest. Zip-bomb guards: per-member + total byte caps, member
   * count cap, no nested-container recursion. */
-object ZipDocParser extends DocParser {
+object ZipDocParser extends MultiDocParser {
   val MaxMembers = 1000
   val MaxMemberBytes: Int = 4 * 1024 * 1024
   val MaxTotalBytes: Long = 64L * 1024 * 1024
 
   override def needsText: Boolean = false
 
-  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] =
-    resultDocs(url, content, cfg).head.spans
-
   /** Container (head) + parsed members. Corrupt archives degrade to the
     * members read so far — one bad row must never fail a fetch task. */
-  def resultDocs(url: String, content: Array[Byte], cfg: CrawlConfig): Seq[SubDoc] = {
+  override def resultDocs(url: String, text: String, content: Array[Byte],
+                          cfg: CrawlConfig): Seq[SubDoc] = {
     val subs = Seq.newBuilder[SubDoc]
     val names = Seq.newBuilder[String]
     var total = 0L
@@ -155,8 +168,8 @@ object DocParsers {
   def forMime(mime: String): DocParser = mime match {
     case null => HtmlDocParser
     case "text/html" | "application/xhtml+xml" => HtmlDocParser
-    case "application/xml" | "text/xml" | "application/rss+xml" | "application/atom+xml" =>
-      XmlDocParser
+    case "application/rss+xml" | "application/atom+xml" => FeedDocParser
+    case "application/xml" | "text/xml" => XmlDocParser
     case "application/zip" => ZipDocParser
     case "application/pdf" => PdfDocParser
     case m if m.startsWith("text/") => PlainTextDocParser
@@ -186,7 +199,11 @@ object DocParsers {
                   cfg: CrawlConfig): Seq[SubDoc] = {
     val mime = graft.url.Mime.resolveWithContent(contentType, url, content)
     forMime(mime) match {
-      case ZipDocParser => ZipDocParser.resultDocs(url, content, cfg)
+      case p: MultiDocParser =>
+        val text =
+          if (p.needsText) Charsets.decode(contentType, content, cfg.parserCharsetDefault)
+          else null
+        p.resultDocs(url, text, content, cfg)
       case p =>
         val text =
           if (p.needsText) Charsets.decode(contentType, content, cfg.parserCharsetDefault)

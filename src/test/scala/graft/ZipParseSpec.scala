@@ -54,7 +54,7 @@ class ZipParseSpec extends AnyFunSuite with SparkSpecBase {
     "img/c.png" -> "PNG fake bytes")
 
   test("registry: zip resultDocs = container manifest + per-member parsed sub-docs") {
-    val docs = ZipDocParser.resultDocs("http://z.fix.test/bundle", bundle, cfg)
+    val docs = ZipDocParser.resultDocs("http://z.fix.test/bundle", null, bundle, cfg)
     assert(docs.length == 4)
     val container = docs.head
     assert(container.url == "http://z.fix.test/bundle")
@@ -72,7 +72,7 @@ class ZipParseSpec extends AnyFunSuite with SparkSpecBase {
     assert(c.contentType == "image/png")
     assert(c.spans.head.kind == "media")
     // corrupt container degrades, never throws
-    val corrupt = ZipDocParser.resultDocs("http://z.fix.test/bad", "not a zip".getBytes, cfg)
+    val corrupt = ZipDocParser.resultDocs("http://z.fix.test/bad", null, "not a zip".getBytes, cfg)
     assert(corrupt.head.url == "http://z.fix.test/bad")
     // dispatch by magic: parseResult with a lying/absent content type
     val sniffed = DocParsers.parseResult(null, "http://z.fix.test/bundle", bundle, cfg)
