@@ -88,6 +88,7 @@ object SparkEntry {
     "q_segment_merge" -> (Relational.segmentMerge _),
     "q_mime_resolve" -> (Relational.mimeResolve _),
     "q_parse_html" -> ((s, d) => graft.parse.HtmlOps.parseHtmlStats(docs(s, d))),
+    "q_meta_headings" -> ((s, d) => graft.parse.HtmlOps.metaHeadings(docs(s, d))),
     // --- text analysis (documents) ---
     "q_token_count" -> ((s, d) => TextOps.tokenCount(docs(s, d))),
     "q_bpeish_tokens" -> ((s, d) => TextOps.bpeishTokenCount(docs(s, d))),
@@ -299,6 +300,14 @@ object SparkEntry {
          SELECT doc_id, title, n_text + n_link + n_media AS n_spans,
                 n_text, n_link, n_media, links, anchors, medias
          FROM c""",
+    "q_meta_headings" ->
+      """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+                array_to_string(toks[3:6], ' ') AS meta_description,
+                array_to_string(toks[7:9], ',') AS meta_keywords,
+                toks[1] || '|' || toks[3] AS h1,
+                toks[2] AS h2
+         FROM t""",
     "q_index_fields" ->
       """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k,
                            CAST(doc_id % 3 AS INTEGER) AS cls, text

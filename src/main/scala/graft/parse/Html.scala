@@ -343,6 +343,44 @@ object Html {
     sb.toString
   }
 
+  /** parse-metatags + headings plugins (reference src/plugin/parse-metatags
+    * MetaTagsParser.java — configured meta names lifted into parse_meta as
+    * `metatag.<name>` with lowercased names — and src/plugin/headings
+    * HeadingsParseFilter.java — configured heading elements' collapsed text,
+    * first-wins or '|'-joined when multivalued). One DOM walk. */
+  def extraMeta(
+      html: String,
+      metatagNames: Seq[String],
+      headingTags: Seq[String],
+      headingsMultivalued: Boolean = false): Map[String, String] = {
+    val root = parseDom(html)
+    val wantMeta = metatagNames.map(_.toLowerCase(Locale.ROOT)).toSet
+    val wantHead = headingTags.map(_.toLowerCase(Locale.ROOT)).toSet
+    val metas = mutable.LinkedHashMap.empty[String, String]
+    val heads = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[String]]
+    def walk(n: HNode): Unit = n match {
+      case e: HElem =>
+        e.name match {
+          case "meta" =>
+            val name = e.attrs.getOrElse("name",
+              e.attrs.getOrElse("http-equiv", "")).toLowerCase(Locale.ROOT)
+            if (wantMeta(name) && !metas.contains(s"metatag.$name"))
+              metas += s"metatag.$name" -> e.attrs.getOrElse("content", "")
+          case h if wantHead(h) =>
+            val t = textOf(e).trim
+            if (t.nonEmpty) heads.getOrElseUpdate(h, mutable.ArrayBuffer.empty) += t
+          case _ =>
+        }
+        e.children.foreach(walk)
+      case _ =>
+    }
+    walk(root)
+    val headFields = heads.map { case (h, vs) =>
+      h -> (if (headingsMultivalued) vs.mkString("|") else vs.head)
+    }
+    (metas ++ headFields).toMap
+  }
+
   /** First <title> text (head section). */
   def titleOf(root: HElem): String = {
     def find(n: HNode): Option[HElem] = n match {

@@ -38,6 +38,36 @@ object HtmlOps {
       body, lit("</body></html>"))
   }
 
+  /** q_meta_headings: parse-metatags + headings plugins over deterministic
+    * generated pages — meta description/keywords (mixed-case name attribute
+    * exercises the lowercasing) and h1/h2 headings (h1 appears twice →
+    * multivalued join) extracted by the REAL DOM walker; every output is
+    * pure token arithmetic, so DuckDB mirrors it from first principles. */
+  def metaHeadings(docs: DataFrame): DataFrame = {
+    val page = {
+      val toks = split(col("text"), " ")
+      concat(
+        lit("<html><head><title>t</title>"),
+        lit("<meta name=\"description\" content=\""),
+        array_join(slice(toks, 3, 4), " "),
+        lit("\"><meta name=\"KeyWords\" content=\""),
+        array_join(slice(toks, 7, 3), ","),
+        lit("\"></head><body><h1>"), element_at(toks, 1),
+        lit("</h1> prose <h2>"), element_at(toks, 2),
+        lit("</h2> more <h1>"), element_at(toks, 3),
+        lit("</h1></body></html>"))
+    }
+    val extract = udf((h: String) =>
+      Html.extraMeta(h, Seq("description", "keywords"), Seq("h1", "h2"),
+        headingsMultivalued = true))
+    docs.select(col("doc_id"), extract(page).as("m"))
+      .select(col("doc_id"),
+        element_at(col("m"), "metatag.description").as("meta_description"),
+        element_at(col("m"), "metatag.keywords").as("meta_keywords"),
+        element_at(col("m"), "h1").as("h1"),
+        element_at(col("m"), "h2").as("h2"))
+  }
+
   /** q_parse_html: real-parse the generated pages, emit per-doc span stats.
     * Partition-local (one UDF parse per row, no shuffle) — the same shape
     * the crawl's parse stage has at scale. */
