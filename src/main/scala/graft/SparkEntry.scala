@@ -118,6 +118,8 @@ object SparkEntry {
     "q_orphan_status" -> (Relational.orphanStatus _),
     // --- IndexingFilter plugin chain (basic/more/tld/subcollection/mime/static) ---
     "q_index_fields" -> (Relational.indexFields _),
+    // --- URLNormalizer plugin variants (ajax/querystring/protocol/host/slash) ---
+    "q_url_normalizers" -> (Relational.urlNormalizers _),
     // --- scoring-similarity: gold-standard TF-cosine over documents ---
     "q_similarity_score" -> ((s, d) => graft.score.SimilarityScoring.scoreDocs(
       docs(s, d), "doc_id", "text",
@@ -300,6 +302,21 @@ object SparkEntry {
          SELECT doc_id, title, n_text + n_link + n_media AS n_spans,
                 n_text, n_link, n_media, links, anchors, medias
          FROM c""",
+    "q_url_normalizers" ->
+      """SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INTEGER)
+                  WHEN 0 THEN 'http://ajax.example.com/app?x=1#!state=' || CAST(doc_id AS VARCHAR)
+                  WHEN 1 THEN 'http://qs.example.com/p?b=2&a=' || CAST(doc_id AS VARCHAR) || '&c=3'
+                  WHEN 2 THEN 'http://proto.example.com/page' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN 'http://www.alias.example.com/page' || CAST(doc_id AS VARCHAR) || '/'
+                  ELSE 'http://noslash.example.com/dir' || CAST(doc_id AS VARCHAR) || '/' END AS raw,
+                CASE CAST(doc_id % 5 AS INTEGER)
+                  WHEN 0 THEN 'http://ajax.example.com/app?_escaped_fragment_=state=' || CAST(doc_id AS VARCHAR) || '&x=1'
+                  WHEN 1 THEN 'http://qs.example.com/p?a=' || CAST(doc_id AS VARCHAR) || '&b=2&c=3'
+                  WHEN 2 THEN 'https://proto.example.com/page' || CAST(doc_id AS VARCHAR)
+                  WHEN 3 THEN 'http://alias.example.com/page' || CAST(doc_id AS VARCHAR) || '/'
+                  ELSE 'http://noslash.example.com/dir' || CAST(doc_id AS VARCHAR) END AS normalized
+         FROM documents""",
     "q_meta_headings" ->
       """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
          SELECT doc_id,

@@ -83,6 +83,11 @@ case class CrawlConfig(
     extraUrlFilters: Seq[graft.url.UrlFilter] = Nil, // pluggable filter chain (prefix/suffix/domain/regex
                                                  // variants) applied AFTER the static default chain on
                                                  // seeds and discovered outlinks
+    extraUrlNormalizers: Seq[graft.url.UrlNormalizer] = Nil, // pluggable normalizer plugins
+                                                 // (ajax/querystring/protocol/host/slash) composed
+                                                 // around the basic canonicalizer on discovered
+                                                 // outlinks; default empty keeps the codegen'd
+                                                 // url_canon_filter hot path
     htmlFormUseAction: Boolean = true,           // parser.html.form.use_action (form action = outlink)
     htmlOutlinkIgnoreTags: Seq[String] = Nil,    // parser.html.outlinks.ignore_tags
     parserCharsetDefault: String = "windows-1252", // parser.character.encoding.default

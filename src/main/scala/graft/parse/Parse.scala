@@ -72,7 +72,16 @@ object Parse {
         if (cfg.scoringDepthMax > 0)
           when(col("l.kind") === "redirect", col("depth")).otherwise(col("depth") + 1)
         else lit(1))
-      .withColumn("to_url", call_function("url_canon_filter", col("l.media_ref")))
+      // normalizer plugins configured ⇒ UDF chain (ajax → canonicalize →
+      // host/protocol/slash/querystring + default filters); default stays
+      // the codegen'd expression
+      .withColumn("to_url",
+        if (cfg.extraUrlNormalizers.isEmpty)
+          call_function("url_canon_filter", col("l.media_ref"))
+        else {
+          val chain = graft.url.UrlNormalizerChain(cfg.extraUrlNormalizers)
+          udf((u: String) => graft.url.UrlFilters.normalizeAndFilter(u, chain)).apply(col("l.media_ref"))
+        })
       .filter(col("to_url").isNotNull && col("to_url") =!= col("from_url"))
       // pluggable filter chain (prefix/suffix/domain/regex variants): UDF
       // only when configured — the default path stays whole-stage codegen

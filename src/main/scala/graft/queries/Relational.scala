@@ -298,6 +298,33 @@ object Relational {
       .withColumn("mime", call_function("mime_resolve", col("content_type"), col("url")))
   }
 
+  /** §2.2 the URLNormalizer plugin variants (ajax, querystring-sort,
+    * protocol, host-alias, slash) composed around the basic canonicalizer —
+    * five URL classes, one per plugin; the oracle states each expected
+    * canonical output. */
+  def urlNormalizers(s: SparkSession, dir: String): DataFrame = {
+    import graft.url._
+    val chain = UrlNormalizerChain(Seq(
+      AjaxNormalizer,
+      QuerystringSortNormalizer,
+      ProtocolNormalizer(Map("proto.example.com" -> "https")),
+      HostAliasNormalizer(Map("www.alias.example.com" -> "alias.example.com")),
+      SlashNormalizer(Map("addslash.example.com" -> true, "noslash.example.com" -> false))))
+    val norm = udf((u: String) => chain.normalize(u))
+    val k = col("doc_id").cast("string")
+    val raw = when(col("doc_id") % 5 === 0,
+        concat(lit("http://ajax.example.com/app?x=1#!state="), k))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("http://qs.example.com/p?b=2&a="), k, lit("&c=3")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("http://proto.example.com/page"), k))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("http://www.alias.example.com/page"), k, lit("/")))
+      .otherwise(concat(lit("http://noslash.example.com/dir"), k, lit("/")))
+    documents(s, dir).select(col("doc_id"), raw.as("raw"))
+      .withColumn("normalized", norm(col("raw")))
+  }
+
   /** §2.1 the IndexingFilter plugin chain (index-basic, index-more, tld,
     * subcollection, mimetype-filter, index-static) over synthesized index
     * docs: three URL classes, image docs dropped by the mime glob rule, one

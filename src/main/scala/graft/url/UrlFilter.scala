@@ -143,4 +143,11 @@ object UrlFilters {
     val c = Urls.canonicalize(raw)
     if (c != null && accept(c)) c else null
   }
+
+  /** Same pipeline with extra normalizer plugins in the chain
+    * (urlnormalizer-ajax/querystring/protocol/host/slash variants). */
+  def normalizeAndFilter(raw: String, chain: UrlNormalizerChain): String = {
+    val c = chain.normalize(raw)
+    if (c != null && accept(c)) c else null
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.url._
+
+/** URLNormalizer plugin variants (reference src/plugin/urlnormalizer-*). */
+class UrlNormalizerSpec extends AnyFunSuite {
+
+  test("ajax: #! → _escaped_fragment_, ? vs & by existing query, spec escaping") {
+    assert(AjaxNormalizer.normalize("http://h.test/app#!key=value") ==
+      "http://h.test/app?_escaped_fragment_=key=value")
+    assert(AjaxNormalizer.normalize("http://h.test/app?q=1#!k=v") ==
+      "http://h.test/app?q=1&_escaped_fragment_=k=v")
+    // AJAX crawling spec escaping: bytes < 33 and # % & + are encoded
+    assert(AjaxNormalizer.normalize("http://h.test/a#!x=a b&c#d%e+f") ==
+      "http://h.test/a?_escaped_fragment_=x=a%20b%26c%23d%25e%2Bf")
+    assert(AjaxNormalizer.normalize("http://h.test/plain") == "http://h.test/plain")
+    assert(AjaxNormalizer.normalize(null) == null)
+  }
+
+  test("querystring: parameters sorted lexicographically") {
+    assert(QuerystringSortNormalizer.normalize("http://h.test/p?b=2&a=1&c=3") ==
+      "http://h.test/p?a=1&b=2&c=3")
+    assert(QuerystringSortNormalizer.normalize("http://h.test/p") == "http://h.test/p")
+  }
+
+  test("protocol: forced scheme for listed hosts only") {
+    val n = ProtocolNormalizer(Map("force.test" -> "https"))
+    assert(n.normalize("http://force.test/a?b=1") == "https://force.test/a?b=1")
+    assert(n.normalize("http://other.test/a") == "http://other.test/a")
+  }
+
+  test("host: alias rewrite preserves port/path/query") {
+    val n = HostAliasNormalizer(Map("www.site.test" -> "site.test"))
+    assert(n.normalize("http://www.site.test/a/b?c=1") == "http://site.test/a/b?c=1")
+    assert(n.normalize("http://www.site.test:8080/a") == "http://site.test:8080/a")
+    assert(n.normalize("http://sub.site.test/a") == "http://sub.site.test/a")
+  }
+
+  test("slash: per-host add/remove, extension-aware, root untouched") {
+    val n = SlashNormalizer(Map("add.test" -> true, "rm.test" -> false))
+    assert(n.normalize("http://add.test/dir") == "http://add.test/dir/")
+    assert(n.normalize("http://add.test/page.html") == "http://add.test/page.html") // extension: no slash
+    assert(n.normalize("http://add.test/dir?q=1") == "http://add.test/dir/?q=1")
+    assert(n.normalize("http://rm.test/dir/") == "http://rm.test/dir")
+    assert(n.normalize("http://rm.test/dir/?q=1") == "http://rm.test/dir?q=1")
+    assert(n.normalize("http://rm.test/") == "http://rm.test/") // root owned by basic
+    assert(n.normalize("http://other.test/dir/") == "http://other.test/dir/")
+  }
+
+  test("chain: ajax runs on the raw url before the canonicalizer strips fragments") {
+    val chain = UrlNormalizerChain(Seq(AjaxNormalizer, QuerystringSortNormalizer))
+    assert(chain.normalize("HTTP://H.Test/app?x=1#!state=5") ==
+      "http://h.test/app?_escaped_fragment_=state=5&x=1")
+    // without ajax in the chain, the fragment is simply stripped
+    assert(UrlNormalizerChain(Nil).normalize("http://h.test/app?x=1#!state=5") ==
+      "http://h.test/app?x=1")
+    assert(chain.normalize("not a url") == null)
+  }
+}
