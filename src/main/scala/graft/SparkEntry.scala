@@ -120,6 +120,8 @@ object SparkEntry {
     "q_index_fields" -> (Relational.indexFields _),
     // --- URLNormalizer plugin variants (ajax/querystring/protocol/host/slash) ---
     "q_url_normalizers" -> (Relational.urlNormalizers _),
+    // --- index-anchor + index-links over the linkdb ---
+    "q_index_anchors" -> (Relational.indexAnchors _),
     // --- scoring-similarity: gold-standard TF-cosine over documents ---
     "q_similarity_score" -> ((s, d) => graft.score.SimilarityScoring.scoreDocs(
       docs(s, d), "doc_id", "text",
@@ -302,6 +304,15 @@ object SparkEntry {
          SELECT doc_id, title, n_text + n_link + n_media AS n_spans,
                 n_text, n_link, n_media, links, anchors, medias
          FROM c""",
+    "q_index_anchors" ->
+      """WITH e AS (SELECT 'http://p.test/' || CAST(l_partkey AS VARCHAR) AS url,
+                           'h' || CAST(l_orderkey % 13 AS VARCHAR) || '.test' AS host,
+                           'a' || CAST(l_orderkey % 7 AS VARCHAR) AS anch
+                    FROM lineitem)
+         SELECT url,
+                array_to_string(list_sort(list_distinct(list(anch))), '|') AS anchor,
+                array_to_string(list_sort(list_distinct(list(host))), '|') AS inlinks
+         FROM e GROUP BY url""",
     "q_url_normalizers" ->
       """SELECT doc_id,
                 CASE CAST(doc_id % 5 AS INTEGER)

@@ -141,6 +141,64 @@ case class MimeTypeFilter(
   }
 }
 
+/** index-anchor (AnchorIndexingFilter): the document's inlink anchor texts
+  * from the linkdb, deduplicated (optionally one per linking host) and
+  * '|'-joined sorted — the reference emits a multi-valued `anchor` field.
+  * The join is url-to-url against the (large) linkdb: a plain shuffle join,
+  * the correct shape when both sides are corpus-sized. */
+case class AnchorFilter(linkdb: DataFrame, deduplicateByHost: Boolean = false)
+    extends IndexingFilter {
+  override def name: String = "index-anchor"
+  override def apply(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val withText = filter(col("inlinks"),
+      i => i.getField("anchor").isNotNull && i.getField("anchor") =!= "")
+    val anchors: Column =
+      if (!deduplicateByHost)
+        array_sort(array_distinct(transform(withText, i => i.getField("anchor"))))
+      else {
+        // one anchor per linking host: fold into a host-keyed map, first wins
+        val m = aggregate(withText,
+          map_from_arrays(array().cast("array<string>"), array().cast("array<string>")),
+          (acc, i) => {
+            val h = call_function("url_host", i.getField("from_url"))
+            when(h.isNull || map_contains_key(acc, h), acc)
+              .otherwise(map_concat(acc, map(h, i.getField("anchor"))))
+          })
+        array_sort(array_distinct(map_values(m)))
+      }
+    val prepared = linkdb.select(col("url"),
+      when(size(anchors) > 0, array_join(anchors, "|")).as("anchor"))
+    docs.join(prepared, Seq("url"), "left")
+  }
+}
+
+/** index-links (LinksIndexingFilter): linking URLs (or just their hosts)
+  * as an `inlinks` field, optionally dropping same-host (internal) links. */
+case class LinksFilter(
+    linkdb: DataFrame,
+    hostsOnly: Boolean = false,
+    ignoreInternal: Boolean = false) extends IndexingFilter {
+  override def name: String = "index-links"
+  override def apply(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val pageHost = call_function("url_host", col("url"))
+    val kept =
+      if (ignoreInternal)
+        filter(col("inlinks"), i => call_function("url_host", i.getField("from_url")) =!= pageHost)
+      else col("inlinks")
+    val vals = transform(kept, i =>
+      if (hostsOnly) call_function("url_host", i.getField("from_url")) else i.getField("from_url"))
+    val prepared = linkdb.select(col("url"), col("inlinks"))
+    docs.join(prepared, Seq("url"), "left")
+      .withColumn("inlinks", {
+        val arr = array_sort(array_distinct(filter(vals, v => v.isNotNull)))
+        when(col("inlinks").isNull || size(arr) === 0, lit(null).cast("string"))
+          .otherwise(array_join(arr, "|"))
+      })
+  }
+}
+
 /** index-static (StaticFieldIndexer): constant fields on every document. */
 case class StaticFieldsFilter(fields: Map[String, String]) extends IndexingFilter {
   override def name: String = "index-static"

@@ -298,6 +298,25 @@ object Relational {
       .withColumn("mime", call_function("mime_resolve", col("content_type"), col("url")))
   }
 
+  /** §2.1 index-anchor + index-links over a linkdb built from lineitem
+    * edges: anchors deduplicated and sorted per target URL, inlink hosts
+    * likewise — the reference's multi-valued fields, '|'-joined. */
+  def indexAnchors(s: SparkSession, dir: String): DataFrame = {
+    import graft.index._
+    val edges = lineitem(s, dir).select(
+      concat(lit("http://p.test/"), col("l_partkey").cast("string")).as("url"),
+      struct(
+        concat(lit("http://h"), (col("l_orderkey") % 13).cast("string"),
+          lit(".test/o"), col("l_orderkey").cast("string")).as("from_url"),
+        concat(lit("a"), (col("l_orderkey") % 7).cast("string")).as("anchor")).as("i"))
+    val linkdb = edges.groupBy(col("url")).agg(collect_list(col("i")).as("inlinks"))
+    val docs = edges.select(col("url")).distinct()
+    val chained = IndexingFilterChain(Seq(
+      AnchorFilter(linkdb),
+      LinksFilter(linkdb, hostsOnly = true)))
+    chained(docs).select(col("url"), col("anchor"), col("inlinks"))
+  }
+
   /** §2.2 the URLNormalizer plugin variants (ajax, querystring-sort,
     * protocol, host-alias, slash) composed around the basic canonicalizer —
     * five URL classes, one per plugin; the oracle states each expected

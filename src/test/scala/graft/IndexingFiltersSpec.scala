@@ -81,6 +81,42 @@ class IndexingFiltersSpec extends AnyFunSuite with SparkSpecBase {
     assert(r.getAs[String]("missing_key") == null)
   }
 
+  test("index-anchor: dedup + sort; host-dedup keeps one anchor per linking host") {
+    val linkdb = Seq(
+      ("http://t.test/a", Seq(
+        ("http://h1.test/p1", "click"), ("http://h1.test/p2", "here"),
+        ("http://h2.test/p3", "click"), ("http://h2.test/p4", ""))),
+      ("http://t.test/b", Seq(("http://h1.test/p9", "b-link")))
+    ).toDF("url", "raw")
+      .select(col("url"), expr(
+        "transform(raw, r -> named_struct('from_url', r._1, 'anchor', r._2))").as("inlinks"))
+    val docs = Seq("http://t.test/a", "http://t.test/b", "http://t.test/c").toDF("url")
+    val plain = AnchorFilter(linkdb)(docs).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("anchor")).toMap
+    assert(plain("http://t.test/a") == "click|here") // deduped, sorted, empty dropped
+    assert(plain("http://t.test/b") == "b-link")
+    assert(plain("http://t.test/c") == null) // no inlinks: null field survives join
+    val byHost = AnchorFilter(linkdb, deduplicateByHost = true)(docs).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("anchor")).toMap
+    assert(byHost("http://t.test/a") == "click") // first anchor per host: h1→click, h2→click
+  }
+
+  test("index-links: inlink urls or hosts, internal links ignorable") {
+    val linkdb = Seq(
+      ("http://t.test/a", Seq("http://t.test/self", "http://h1.test/x", "http://h2.test/y"))
+    ).toDF("url", "raw")
+      .select(col("url"), expr(
+        "transform(raw, r -> named_struct('from_url', r, 'anchor', 'z'))").as("inlinks"))
+    val docs = Seq("http://t.test/a").toDF("url")
+    val urls = LinksFilter(linkdb)(docs).collect().head.getAs[String]("inlinks")
+    assert(urls == "http://h1.test/x|http://h2.test/y|http://t.test/self")
+    val hosts = LinksFilter(linkdb, hostsOnly = true)(docs).collect().head.getAs[String]("inlinks")
+    assert(hosts == "h1.test|h2.test|t.test")
+    val ext = LinksFilter(linkdb, hostsOnly = true, ignoreInternal = true)(docs)
+      .collect().head.getAs[String]("inlinks")
+    assert(ext == "h1.test|h2.test") // same-host t.test dropped
+  }
+
   test("exportIndex runs the chain end-to-end on a real crawl round") {
     import graft.cli.CrawlRound
     import graft.fixtures.{SyntheticWeb, WebConfig}
