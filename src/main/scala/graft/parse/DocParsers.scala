@@ -71,6 +71,46 @@ object XmlDocParser extends MultiDocParser {
   }
 }
 
+/** application/javascript → links mined from string literals (reference
+  * src/plugin/parse-js JSParseFilter.java:191-248): every quoted literal
+  * that looks URI-ish (has a '/' or '.' run, no whitespace) becomes an
+  * outlink — "www."-prefixed literals get http://, relative ones resolve
+  * against the page URL, &amp; unescaped — plus the script source as the
+  * parse text (the reference indexes the script body). */
+object JsDocParser extends DocParser {
+  private val StringLit = java.util.regex.Pattern.compile(
+    "(\\\\*(?:\"|'))([^\\s\"']+?)(?:\\1)",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.MULTILINE)
+  private val UriLike = java.util.regex.Pattern.compile(
+    "(^|\\s*?)/?\\S+?[/\\.]\\S+($|\\s*)",
+    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.MULTILINE)
+
+  /** URI-ish string literals of `script`, base-resolved; exposed so the
+    * HTML path could mine inline scripts the same way. */
+  def extractLinks(script: String, base: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val m = StringLit.matcher(script)
+    while (m.find()) {
+      val lit = m.group(2)
+      if (UriLike.matcher(lit).matches()) {
+        val resolved =
+          if (lit.startsWith("www.")) "http://" + lit
+          else Html.resolve(base, lit)
+        if (resolved != null) out += resolved.replace("&amp;", "&")
+      }
+    }
+    out.result()
+  }
+
+  override def parse(url: String, text: String, content: Array[Byte], cfg: CrawlConfig): Seq[Span] = {
+    val body = text.replaceAll("\\s+", " ").trim
+    val head = if (body.isEmpty) Nil else Seq(Span("text", body, null, 0))
+    head ++ extractLinks(text, url).zipWithIndex.map { case (l, i) =>
+      Span("link", null, l, head.size + i)
+    }
+  }
+}
+
 /** Unparsable binary → one opaque media span referencing the URL itself
   * (the content rides in the segment; the span records the reference). */
 object BinaryDocParser extends DocParser {
@@ -172,8 +212,9 @@ object DocParsers {
     case "application/xml" | "text/xml" => XmlDocParser
     case "application/zip" => ZipDocParser
     case "application/pdf" => PdfDocParser
+    case "application/javascript" | "text/javascript" => JsDocParser
     case m if m.startsWith("text/") => PlainTextDocParser
-    case "application/json" | "application/javascript" => PlainTextDocParser
+    case "application/json" => PlainTextDocParser
     case _ => BinaryDocParser
   }
 
