@@ -129,6 +129,13 @@ object SparkEntry {
     // --- multimodal plumbing ---
     "q_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(docs(s, d))),
     "q_media_decode" -> ((s, d) => MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs(s, d))).toDF()),
+    // --- index-replace + parsefilter-regex plugins ---
+    "q_index_replace" -> (Relational.indexReplace _),
+    "q_regex_flags" -> (Relational.regexFlags _),
+    // --- crawldb statistics tools + FreeGenerator ---
+    "q_crawl_completion" -> (Relational.crawlCompletion _),
+    "q_protocol_status" -> (Relational.protocolStatus _),
+    "q_free_generate" -> (Relational.freeGenerate _),
     // --- the crawl engine end-to-end (rows-only; specs assert semantics) ---
     "q_crawl_round" -> ((s, _) => entry(s))
   )
@@ -501,6 +508,43 @@ object SparkEntry {
     // then cast REAL (Parse.linkedUpdates credit cast), added to the base
     // score in float (UpdateDbColumnar newScore); discovered targets enter
     // as db_unfetched with score = credit. Float-exact vs the engine.
+    "q_index_replace" ->
+      """WITH b AS (SELECT doc_id,
+                'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/d' || CAST(doc_id AS VARCHAR) AS url,
+                substr(text, 1, 30) AS title0
+         FROM documents),
+         c AS (SELECT doc_id, url,
+                CASE WHEN doc_id % 5 <= 2 THEN regexp_replace(title0, 'e', '3', 'g') ELSE title0 END AS title
+         FROM b)
+         SELECT doc_id, url, title,
+                CASE WHEN regexp_matches(url, '/d[0-9]*7$') AND regexp_matches(title, 'a')
+                     THEN regexp_replace(title, 'a', '@', 'g') END AS title2
+         FROM c""",
+    "q_regex_flags" ->
+      """SELECT doc_id,
+                CASE WHEN regexp_matches(text, '[0-9]') THEN 'true' ELSE 'false' END AS has_digit,
+                CASE WHEN regexp_matches(text, '[a-z]{10,}') THEN 'true' ELSE 'false' END AS has_longword,
+                'true' AS has_body
+         FROM documents""",
+    "q_crawl_completion" ->
+      """SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) || '.test' AS host,
+                CASE WHEN o_orderkey % 5 IN (0, 2) THEN 'FETCHED' ELSE 'UNFETCHED' END AS completion,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2""",
+    "q_protocol_status" ->
+      """SELECT CASE WHEN o_orderkey % 6 = 0 THEN 'UNFETCHED'
+                     WHEN o_orderkey % 6 <= 2 THEN 'SUCCESS'
+                     WHEN o_orderkey % 6 = 3 THEN 'NOTFOUND'
+                     WHEN o_orderkey % 6 = 4 THEN 'RETRY'
+                     ELSE 'ROBOTS_DENIED' END AS protocol_status,
+                count(*) AS n
+         FROM orders GROUP BY 1""",
+    "q_free_generate" ->
+      """SELECT 'http://host-' || CAST(o_custkey % 37 AS VARCHAR) || '.example.com/o/' || CAST(o_orderkey AS VARCHAR) AS url,
+                'host-' || CAST(o_custkey % 37 AS VARCHAR) || '.example.com' AS host,
+                'example.com' AS domain,
+                CAST(1.0 AS DOUBLE) AS score
+         FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0""",
     "q_crawl_round" ->
       """WITH pages(url, host, outcome) AS (VALUES
            ('http://host-000.fix.test/','host-000.fix.test','success'),

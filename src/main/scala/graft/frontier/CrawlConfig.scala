@@ -119,6 +119,15 @@ case class CrawlConfig(
                                                  // (reference CrawlDbFilter.java:89-94)
     parseMetaToCrawlDb: Seq[String] = Nil,       // db.parsemeta.to.crawldb: parse_meta keys carried into
                                                  // the frontier row's metadata through updatedb
+    // protocol-status stamping (reference lib-http HttpBase.java:369-370
+    // writes metadata[nutch.protocol.code]=<HTTP code> on every fetch datum;
+    // updatedb's metadata merge carries it into the crawldb, where
+    // ProtocolStatusStatistics groups on it). We stamp the executor's
+    // protocol_status STRING (SUCCESS/NOTFOUND/...) instead of a numeric
+    // HTTP code — a documented API change: it is fetcher-agnostic (synthetic
+    // / file / http all produce it) and strictly more informative as a
+    // group-by key. Off by default to keep the no-metadata fast path.
+    protocolStatusToCrawlDb: Boolean = false,    // ≙ always-on in reference lib-http
     // seen
     useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,

@@ -65,4 +65,84 @@ object FrontierTools {
     frontier.toDF().groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("host")).as("n_hosts"),
         sum(col("score")).as("total_score"))
+
+  /** Frontier-metadata key carrying the fetch protocol status (reference
+    * Nutch.PROTOCOL_STATUS_CODE_KEY "nutch.protocol.code", stamped by
+    * lib-http HttpBase.java:369-370; we stamp the executor's status STRING —
+    * see CrawlConfig.protocolStatusToCrawlDb). */
+  val ProtocolStatusKey = "nutch.protocol.code"
+
+  /** Crawl-completion statistics (reference util/CrawlCompletionStats
+    * .java:190-227): per host or registered domain, how many URLs are
+    * FETCHED (db_fetched | db_notmodified) vs UNFETCHED (everything else).
+    * One map-side-combined aggregation — the same shape at 10^10 rows. */
+  def crawlCompletionStats(frontier: Dataset[FrontierEntry], mode: String = "host"): DataFrame = {
+    require(mode == "host" || mode == "domain", s"mode must be host|domain, got $mode")
+    val key = if (mode == "domain") col("domain") else col("host")
+    val fetched = col("status").isin(
+      graft.schema.CrawlStatus.DB_FETCHED.toInt, graft.schema.CrawlStatus.DB_NOTMODIFIED.toInt)
+    frontier.toDF()
+      .groupBy(key.as(mode), when(fetched, "FETCHED").otherwise("UNFETCHED").as("completion"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Protocol-status statistics (reference util/ProtocolStatusStatistics
+    * .java:138-149): count frontier rows by the protocol status the last
+    * fetch stamped into metadata (rows never fetched — no stamp — count as
+    * UNFETCHED). Requires cfg.protocolStatusToCrawlDb on the crawl. */
+  def protocolStatusStats(frontier: Dataset[FrontierEntry]): DataFrame =
+    frontier.toDF()
+      .groupBy(coalesce(element_at(col("metadata"), lit(ProtocolStatusKey)), lit("UNFETCHED"))
+        .as("protocol_status"))
+      .agg(count(lit(1)).as("n"))
+
+  /** FreeGenerator (reference tools/FreeGenerator.java:53-143): turn plain
+    * one-URL-per-line text into a ready fetchlist WITHOUT touching the
+    * crawldb — normalize/filter (optional), injected score, default
+    * interval, URL-dedup, then the Generator's host-sticky partitioning +
+    * interleave-hash sort so the politeness executor sees the same spread a
+    * crawldb-generated segment would have. */
+  def freeGenerate(
+      urlLines: Dataset[String],
+      cfg: CrawlConfig,
+      now: Long,
+      normalize: Boolean = true,
+      filter: Boolean = true
+  ): Dataset[graft.schema.FetchTask] = {
+    val spark = urlLines.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // normalize and filter are INDEPENDENT switches like the reference's
+    // -normalize / -filter flags (FreeGenerator.java:85-93)
+    val extra = cfg.extraUrlFilters
+    val urls = urlLines.flatMap { line =>
+      val t = if (line == null) "" else line.trim
+      if (t.isEmpty || t.startsWith("#")) None
+      else {
+        val n = if (normalize) graft.url.Urls.canonicalize(t) else t
+        val ok = n != null &&
+          (!filter || (graft.url.UrlFilters.accept(n) && extra.forall(_.accept(n))))
+        if (ok) Some(n) else None
+      }
+    }
+    // unique urls (reference FGReducer:133-141 dedups on the exact URL)
+    urls.distinct()
+      .select(
+        col("value").as("url"),
+        call_function("url_hash64", col("value")).as("url_hash"),
+        call_function("url_host", col("value")).as("host"),
+        call_function("url_domain", call_function("url_host", col("value"))).as("domain"),
+        lit(graft.schema.CrawlStatus.DB_UNFETCHED).as("status"),
+        lit(now).as("fetch_time"),
+        lit(0).as("retries"),
+        lit(cfg.fetchIntervalDefault).as("fetch_interval"),
+        lit(cfg.injectedScore).as("score"),
+        lit(0).as("segment"),
+        lit(-1L).as("fetch_delay_ms"),
+        lit(1).as("depth"))
+      .repartition(cfg.numFetchPartitions,
+        graft.generate.Generator.partitionKey(col("url"), col("host"), Map.empty))
+      .sortWithinPartitions(call_function("url_hash_interleave", col("url")))
+      .as[graft.schema.FetchTask]
+  }
 }

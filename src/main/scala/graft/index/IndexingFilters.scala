@@ -224,6 +224,113 @@ case class ExprIndexingFilter(predicate: String) extends IndexingFilter {
   override def apply(docs: DataFrame): DataFrame = docs.filter(expr(predicate))
 }
 
+/** One field replacement of the index-replace plugin: regex-replace
+  * `field`'s value into `toField` (usually the same field). `flags` are
+  * java.util.regex.Pattern flags (CASE_INSENSITIVE=2, MULTILINE=8,
+  * DOTALL=32 ...), realized as inline `(?ims)` prefixes so the whole thing
+  * stays a codegen'd regexp_replace. */
+case class FieldReplacement(
+    field: String,
+    toField: String,
+    pattern: String,
+    replacement: String,
+    flags: Int = 0) {
+  def inlinePattern: String = {
+    var s = ""
+    if ((flags & 2) != 0) s += "i"
+    if ((flags & 4) != 0) s += "x"
+    if ((flags & 8) != 0) s += "m"
+    if ((flags & 32) != 0) s += "s"
+    if ((flags & 64) != 0) s += "u"
+    if (s.isEmpty) pattern else s"(?$s)$pattern"
+  }
+}
+
+/** One scope of index-replace rules: applies when the doc's host (hostmatch)
+  * or url (urlmatch) finds the scope pattern. */
+case class ReplaceScope(
+    hostMatch: Option[String],
+    urlMatch: Option[String],
+    replacements: Seq[FieldReplacement])
+
+/** index-replace plugin (reference src/plugin/index-replace/ReplaceIndexer
+  * .java): hostmatch/urlmatch-scoped regex replacements over index fields,
+  * applied in configuration order; a replacement writes `toField` ONLY when
+  * the value actually matches (Matcher.find, ReplaceIndexer FieldReplacer
+  * .replace:137-148) — otherwise an existing target keeps its value and a
+  * new target field stays null. Pure column expressions. */
+case class ReplaceFilter(scopes: Seq[ReplaceScope]) extends IndexingFilter {
+  override def name: String = "index-replace"
+  override def apply(docs: DataFrame): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    scopes.foldLeft(docs) { (d0, scope) =>
+      val hostCol: Column =
+        if (IndexingFilter.hasCol(d0, "host")) col("host")
+        else call_function("url_host", col("url"))
+      val inScope: Column = Seq(
+        scope.hostMatch.map(p => hostCol.rlike(p)),
+        scope.urlMatch.map(p => col("url").rlike(p))
+      ).flatten.reduceOption(_ || _).getOrElse(lit(true))
+      scope.replacements.foldLeft(d0) { (d, r) =>
+        if (!IndexingFilter.hasCol(d, r.field)) d
+        else {
+          val pat = r.inlinePattern
+          val hit = inScope && col(r.field).isNotNull && col(r.field).rlike(pat)
+          val prev: Column =
+            if (IndexingFilter.hasCol(d, r.toField)) col(r.toField)
+            else lit(null).cast("string")
+          d.withColumn(r.toField,
+            when(hit, regexp_replace(col(r.field), pat, r.replacement)).otherwise(prev))
+        }
+      }
+    }
+  }
+}
+
+object ReplaceFilter {
+  /** Parse the reference's `index.replace.regexp` property text
+    * (ReplaceIndexer.parseConf:96-175): `hostmatch=regex` / `urlmatch=regex`
+    * open a scope (implicit initial scope matches every host);
+    * `field[:to]=<sep>pattern<sep>replacement<sep>[flags]` adds a
+    * replacement. Malformed lines are skipped like the reference. */
+  def parseConf(text: String): ReplaceFilter = {
+    val scopes = collection.mutable.ArrayBuffer.empty[ReplaceScope]
+    var host: Option[String] = Some(".*")
+    var url: Option[String] = None
+    var repl = Vector.empty[FieldReplacement]
+    def flush(): Unit = {
+      if (repl.nonEmpty) scopes += ReplaceScope(host, url, repl)
+      repl = Vector.empty
+    }
+    for (raw <- text.linesIterator; line = raw.trim if line.nonEmpty) {
+      val eq = line.indexOf('=')
+      if (eq > 0) {
+        val name = line.substring(0, eq).trim
+        val value = line.substring(eq + 1)
+        name match {
+          case "hostmatch" => flush(); host = Some(value); url = None
+          case "urlmatch"  => flush(); host = None; url = Some(value)
+          case _ if value.length > 3 =>
+            val (field, toField) = name.indexOf(':') match {
+              case i if i > 0 => (name.substring(0, i), name.substring(i + 1))
+              case _          => (name, name)
+            }
+            val sep = value.substring(0, 1)
+            val rest = value.substring(1)
+            val parts = rest.split(java.util.regex.Pattern.quote(sep), -1)
+            if (parts.length >= 2) {
+              val flags = if (parts.length >= 3) parts(2).trim.toIntOption.getOrElse(0) else 0
+              repl :+= FieldReplacement(field, toField, parts(0), parts(1), flags)
+            }
+          case _ => // malformed, skip
+        }
+      }
+    }
+    flush()
+    ReplaceFilter(scopes.toSeq)
+  }
+}
+
 /** Ordered chain; fold-left like the reference's IndexingFilters loop. */
 case class IndexingFilterChain(filters: Seq[IndexingFilter]) {
   def apply(docs: DataFrame): DataFrame = filters.foldLeft(docs)((d, f) => f(d))

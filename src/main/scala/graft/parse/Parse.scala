@@ -191,7 +191,8 @@ object Parse {
     val wantMime = graft.frontier.FetchSchedule.nameFor(cfg) == "mime"
     val keys = cfg.parseMetaToCrawlDb
     val depthOn = cfg.scoringDepthMax > 0
-    if (!wantMime && keys.isEmpty && !depthOn)
+    val pstOn = cfg.protocolStatusToCrawlDb
+    if (!wantMime && keys.isEmpty && !depthOn && !pstOn)
       pages.map { p =>
         FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
           p.fetch_interval, p.score, p.signature, 0L, p.repr_url, Map.empty)
@@ -201,6 +202,10 @@ object Parse {
       // scoring-depth: the frontier remembers the page's depth (fetch wins
       // the metadata merge, so a refetch refreshes it)
       if (depthOn) meta += "_depth_" -> p.depth.toString
+      // protocol status → crawldb (reference HttpBase.java:369-370 stamps
+      // nutch.protocol.code; ProtocolStatusStatistics reads it back)
+      if (pstOn && p.protocol_status != null)
+        meta += graft.frontier.FrontierTools.ProtocolStatusKey -> p.protocol_status
       if ((wantMime || keys.contains("content_type")) && p.content_type != null)
         meta += "content_type" -> p.content_type
       if (keys.contains("mime"))

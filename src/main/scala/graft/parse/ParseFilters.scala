@@ -1,0 +1,63 @@
+package graft.parse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** parsefilter-regex plugin (reference src/plugin/parsefilter-regex/
+  * RegexParseFilter.java): per-document boolean metadata flags from regex
+  * matches over the raw HTML or the extracted text — the reference stamps
+  * parse_meta[field] = "true"/"false" for every configured rule
+  * (Matcher.find semantics; a null source counts as no-match).
+  *
+  * Re-expressed as a pure column transform over a parsed-documents table:
+  * one codegen'd RLIKE per rule, no UDFs. The flags land either as
+  * top-level string columns (flagColumns — index-metadata can lift them) or
+  * folded into an existing `parse_meta` map column (stampParseMeta — the
+  * db.parsemeta.to.crawldb shape). */
+object ParseFilters {
+
+  /** One rule: `field` is the flag name, `source` ∈ {html, text} picks the
+    * haystack column, `regex` uses Java find() semantics. */
+  case class RegexParseRule(field: String, source: String, regex: String) {
+    require(source == "html" || source == "text", s"source must be html|text: $source")
+  }
+
+  /** Parse the reference rule-file format (RegexParseFilter
+    * .readConfiguration:150-170): one `field source regex` triple per line,
+    * '#' comment lines and malformed lines skipped. */
+  def parseRules(text: String): Seq[RegexParseRule] =
+    text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap { l =>
+        l.split("\\s+") match {
+          case Array(field, source, regex) if source == "html" || source == "text" =>
+            Some(RegexParseRule(field, source, regex))
+          case _ => None
+        }
+      }.toSeq
+
+  private def flag(docs: DataFrame, r: RegexParseRule, htmlCol: String, textCol: String): Column = {
+    val src = if (r.source == "html") htmlCol else textCol
+    val c = if (docs.columns.contains(src)) col(src) else lit(null).cast("string")
+    when(c.isNotNull && c.rlike(r.regex), "true").otherwise("false")
+  }
+
+  /** One string column ("true"/"false") per rule. */
+  def flagColumns(docs: DataFrame, rules: Seq[RegexParseRule],
+                  htmlCol: String = "html", textCol: String = "text"): DataFrame =
+    rules.foldLeft(docs)((d, r) => d.withColumn(r.field, flag(docs, r, htmlCol, textCol)))
+
+  /** Fold the flags into a `parse_meta` map column (created when absent) —
+    * the reference's ParseData.parseMeta destination, from which
+    * db.parsemeta.to.crawldb and index-metadata pick fields up. */
+  def stampParseMeta(docs: DataFrame, rules: Seq[RegexParseRule],
+                     htmlCol: String = "html", textCol: String = "text",
+                     metaCol: String = "parse_meta"): DataFrame = {
+    if (rules.isEmpty) return docs
+    val flags = map(rules.flatMap(r => Seq(lit(r.field), flag(docs, r, htmlCol, textCol))): _*)
+    val merged =
+      if (docs.columns.contains(metaCol)) map_concat(coalesce(col(metaCol), map()), flags)
+      else flags
+    docs.withColumn(metaCol, merged)
+  }
+}

@@ -228,6 +228,103 @@ object Relational {
         col("score").cast("double").as("new_score"))
   }
 
+  /** Synthetic frontier rows from orders for the crawldb statistics tools:
+    * five crawl states, 40 hosts, a protocol-status stamp on every row the
+    * last fetch touched (reference HttpBase.java:369-370 stamping). */
+  private def statsFrontier(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val md = when(col("o_orderkey") % 6 === 0, typedLit(Map.empty[String, String]))
+      .otherwise(map(lit(graft.frontier.FrontierTools.ProtocolStatusKey),
+        when(col("o_orderkey") % 6 <= 2, "SUCCESS")
+          .when(col("o_orderkey") % 6 === 3, "NOTFOUND")
+          .when(col("o_orderkey") % 6 === 4, "RETRY")
+          .otherwise("ROBOTS_DENIED")))
+    orders(s, dir).select(
+      concat(lit("http://h"), (col("o_custkey") % 40).cast("string"),
+        lit(".test/o"), col("o_orderkey").cast("string")).as("url"),
+      col("o_orderkey").as("url_hash"),
+      concat(lit("h"), (col("o_custkey") % 40).cast("string"), lit(".test")).as("host"),
+      concat(lit("h"), (col("o_custkey") % 40).cast("string"), lit(".test")).as("domain"),
+      when(col("o_orderkey") % 5 === 0, 2).when(col("o_orderkey") % 5 === 1, 1)
+        .when(col("o_orderkey") % 5 === 2, 6).when(col("o_orderkey") % 5 === 3, 3)
+        .otherwise(4).cast("byte").as("status"),
+      lit(1700000000000L).as("fetch_time"), lit(0).as("retries"),
+      lit(2592000).as("fetch_interval"), lit(1.0f).as("score"),
+      lit(null).cast("binary").as("signature"), lit(0L).as("modified_time"),
+      lit(null).cast("string").as("repr_url"), lit(-1L).as("generate_time"),
+      md.as("metadata")).as[graft.schema.FrontierEntry]
+  }
+
+  /** §2.4 CrawlCompletionStats tool (reference util/CrawlCompletionStats):
+    * per-host FETCHED/UNFETCHED counts through the REAL tool. */
+  def crawlCompletion(s: SparkSession, dir: String): DataFrame =
+    graft.frontier.FrontierTools.crawlCompletionStats(statsFrontier(s, dir), "host")
+
+  /** §2.4 ProtocolStatusStatistics tool: counts by the stamped protocol
+    * status, UNFETCHED for never-fetched rows. */
+  def protocolStatus(s: SparkSession, dir: String): DataFrame =
+    graft.frontier.FrontierTools.protocolStatusStats(statsFrontier(s, dir))
+
+  /** §2.5 FreeGenerator (reference tools/FreeGenerator.java): plain URL
+    * lines → normalized, filtered, deduped, host-partitioned fetchlist —
+    * comment lines dropped, media suffixes filtered, case-variant
+    * duplicates collapse after canonicalization. */
+  def freeGenerate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = orders(s, dir).select(
+      when(col("o_orderkey") % 7 === 0, concat(lit("# comment "), col("o_orderkey").cast("string")))
+        .when(col("o_orderkey") % 10 === 0,
+          concat(lit("http://h"), (col("o_custkey") % 37).cast("string"),
+            lit(".test/img"), col("o_orderkey").cast("string"), lit(".jpg")))
+        .otherwise(concat(lit("HTTP://Host-"), (col("o_custkey") % 37).cast("string"),
+          lit(".Example.COM:80/o/"), col("o_orderkey").cast("string"))).as("line"))
+    // case-variant duplicates of every URL line: distinct must collapse
+    // them AFTER canonicalization (reference FGReducer:133-141)
+    val lines = raw.unionByName(raw.filter(col("line").startsWith("HTTP://"))
+      .select(lower(col("line")).as("line"))).as[String]
+    graft.frontier.FrontierTools.freeGenerate(lines, graft.frontier.CrawlConfig(), 1700000000000L)
+      .select(col("url"), col("host"), col("domain"), col("score").cast("double").as("score"))
+  }
+
+  /** §2.12 index-replace plugin (reference src/plugin/index-replace):
+    * hostmatch- and urlmatch-scoped regex field replacement through the
+    * REAL ReplaceFilter, config parsed from the reference property format.
+    * title2 exists only where the urlmatch scope actually hit (write-on-
+    * match semantics). */
+  def indexReplace(s: SparkSession, dir: String): DataFrame = {
+    val docsIn = documents(s, dir).select(
+      col("doc_id"),
+      concat(lit("http://h"), (col("doc_id") % 5).cast("string"),
+        lit(".test/d"), col("doc_id").cast("string")).as("url"),
+      substring(col("text"), 1, 30).as("title"))
+    val filter = graft.index.ReplaceFilter.parseConf(
+      """hostmatch=^h[0-2]\.test$
+        |title=/e/3/
+        |urlmatch=/d[0-9]*7$
+        |title:title2=/a/@/
+        |""".stripMargin)
+    filter(docsIn).select("doc_id", "url", "title", "title2")
+  }
+
+  /** §2.9 parsefilter-regex plugin: per-document boolean flags from regex
+    * matches over html and text sources, through the REAL ParseFilters. */
+  def regexFlags(s: SparkSession, dir: String): DataFrame = {
+    import graft.parse.ParseFilters
+    val docsIn = documents(s, dir).select(
+      col("doc_id"), col("text"),
+      concat(lit("<html><body id=\"d"), col("doc_id").cast("string"),
+        lit("\">"), col("text"), lit("</body></html>")).as("html"))
+    val rules = ParseFilters.parseRules(
+      """# field source regex
+        |has_digit text [0-9]
+        |has_longword text [a-z]{10,}
+        |has_body html <body\sid="d[0-9]+">
+        |bad_rule onlytwo
+        |""".stripMargin)
+    ParseFilters.flagColumns(docsIn, rules)
+      .select("doc_id", "has_digit", "has_longword", "has_body")
+  }
+
   /** §2.11 incremental/streaming shape: tumbling-window aggregation. */
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

@@ -4,52 +4,65 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Working verification driver (edited per change under test). Currently:
-  * plan audits of the round-4 paths — the CDX layout window and the
-  * sharded bloom probe — plus the UrlSeen cache behavior smoke. */
+  * round-5 batch — crawldb stats tools, FreeGenerator, FastUrlFilter,
+  * index-replace, parsefilter-regex — driven through the public API with
+  * plan audits (stats aggs must be single-shuffle partial aggregations;
+  * replace/flags must stay inside WholeStageCodegen). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
+    val dir = "/root/testdata/sf0.01"
 
-    // --- CDX layout plan: expect ONE shuffle (by cdx_file) for the window ---
-    val web = graft.fixtures.SyntheticWeb(graft.fixtures.WebConfig(nHosts = 6, pagesPerHost = 10))
-    val cfg = graft.frontier.CrawlConfig(topN = 200, maxPerHost = 50, numFetchPartitions = 2,
-      serverDelayMs = 200, fetchLatencyMs = 5)
-    val root = java.nio.file.Files.createTempDirectory("graft-scratch").toString
-    val (store, _) = graft.cli.CrawlRound.syntheticCrawl(spark, web, cfg, 1, root)
-    val fetched = store.loadRound(spark, "fetched", 1).get
-    val recs = graft.index.WarcExport.records(fetched, None, 1)
-    val layout = graft.index.Cdx.layout(recs, 4, "warc-r1")
-    println("=== Cdx.layout plan ===")
-    layout.explain("formatted")
-    println("exchanges in CDX layout plan: " +
-      layout.queryExecution.executedPlan.toString.linesIterator.count(_.contains("Exchange")))
+    def codegen(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      val nEx = plan.linesIterator.count(_.contains("Exchange"))
+      println(s"$what: exchanges=$nEx codegenSpans=" +
+        plan.linesIterator.count(_.contains("WholeStageCodegen")))
+    }
 
-    // --- sharded probe plan: expect the Or-chain probe INSIDE codegen ---
-    val sharded = graft.seen.UrlSeen.build((1L to 10000L).toDF("url_hash"), 1 << 14, 0.01,
-      10000, shards = 4)
-    val single = graft.seen.UrlSeen.build((1L to 10000L).toDF("url_hash"), 1 << 14, 0.01, 10000)
-    val src = spark.range(1, 100001).select(col("id").as("url_hash"))
-    val probe = src
-      .filter(!graft.seen.UrlSeen.mightContainCol(spark, sharded, col("url_hash")))
-    val probeSingle = src
-      .filter(!graft.seen.UrlSeen.mightContainCol(spark, single, col("url_hash")))
-    println("single probe Filter inside WholeStageCodegen: " + probeSingle.queryExecution
-      .executedPlan.toString.linesIterator.exists(l => l.contains("*") && l.contains("Filter")))
-    println("=== sharded probe plan ===")
-    probe.explain("formatted")
-    val plan = probe.queryExecution.executedPlan.toString
-    // codegen markers: compact plan trees prefix codegen'd nodes with '*'
-    println("probe Filter inside WholeStageCodegen: " + plan.linesIterator
-      .exists(l => l.trim.matches("^[+:>-]*\\s*\\*.*Filter.*")))
-    println("probe rows (definitely-new of 100k vs 10k seen): " + probe.count())
+    // --- stats tools over a real-shaped frontier: expect ONE exchange each
+    //     (partial_count map-side, final after one shuffle) ---
+    val completion = graft.queries.Relational.crawlCompletion(spark, dir)
+    codegen(completion, "crawlCompletionStats")
+    completion.explain("formatted")
+    println("completion rows: " + completion.count())
+
+    val pstats = graft.queries.Relational.protocolStatus(spark, dir)
+    codegen(pstats, "protocolStatusStats")
+    pstats.show(10, false)
+
+    // --- FreeGenerator: text lines → fetchlist; expect exchanges = 2
+    //     (distinct + host repartition), host-sticky output ---
+    val fg = graft.queries.Relational.freeGenerate(spark, dir)
+    codegen(fg, "freeGenerate")
+    println("freeGenerate rows: " + fg.count())
+
+    // --- index-replace + regex flags: zero exchanges, pure codegen ---
+    val rep = graft.queries.Relational.indexReplace(spark, dir)
+    codegen(rep, "indexReplace")
+    rep.show(3, false)
+    val flags = graft.queries.Relational.regexFlags(spark, dir)
+    codegen(flags, "regexFlags")
+    println("flag distribution:")
+    flags.groupBy("has_digit", "has_longword", "has_body").count().show(false)
+
+    // --- FastUrlFilter through a crawl config (extraUrlFilters seam) ---
+    val fast = graft.url.FastUrlFilter.parse(
+      "Domain fix.test\n  DenyPath ^/blocked\n")
+    val cfgF = graft.frontier.CrawlConfig(extraUrlFilters = Seq(fast))
+    val lines = Seq("http://a.fix.test/ok", "http://a.fix.test/blocked/x",
+      "http://b.other.test/blocked/x").toDS()
+    val tasks = graft.frontier.FrontierTools.freeGenerate(lines, cfgF, 1L).collect()
+    println("fast-filtered fetchlist: " + tasks.map(_.url).sorted.mkString(", "))
+    assert(tasks.map(_.url).toSet ==
+      Set("http://a.fix.test/ok", "http://b.other.test/blocked/x"))
 
     spark.stop()
   }

@@ -79,6 +79,118 @@ case class RegexUrlFilter(rules: Seq[(Boolean, String)]) extends UrlFilter {
   }
 }
 
+/** urlfilter-fast (reference src/plugin/urlfilter-fast/FastURLFilter.java):
+  * deny rules scoped to a host or domain so only that bucket's regexes ever
+  * run per URL — a hash lookup on the host plus its domain suffixes instead
+  * of a flat regex chain; built for web-scale rule files. Semantics mirror
+  * the reference exactly: Host rules (exact host) before Domain rules
+  * (every complete-label suffix of the host, longest first), then global
+  * `Domain .` rules; DenyPath matches the path, DenyPathQuery path+query
+  * (Matcher.find semantics); `DenyPath .*`/`.?` collapses to deny-all;
+  * first matching rule rejects; no match ⇒ accept; unparseable URLs are
+  * rejected; hostless URLs (file:) check only global rules; optional
+  * whole-URL/path/query length caps reject before any rule runs. */
+case class FastUrlFilter(
+    hostRules: Map[String, Seq[FastUrlFilter.Rule]],
+    domainRules: Map[String, Seq[FastUrlFilter.Rule]],
+    maxLength: Int = -1,
+    maxLengthPath: Int = -1,
+    maxLengthQuery: Int = -1
+) extends UrlFilter {
+  import FastUrlFilter._
+
+  override def accept(url: String): Boolean = {
+    if (url == null) return false
+    if (maxLength != -1 && url.length > maxLength) return false
+    val u =
+      try new java.net.URI(url)
+      catch { case _: Exception => return false }
+    val path = Option(u.getRawPath).getOrElse("")
+    if (maxLengthPath != -1 && path.length > maxLengthPath) return false
+    val query = u.getRawQuery
+    if (maxLengthQuery != -1 && query != null && query.length > maxLengthQuery) return false
+    val pathQuery = if (query == null) path else s"$path?$query"
+
+    val host = u.getHost
+    if (host != null) {
+      val hs = hostRules.getOrElse(host, Nil)
+      var i = 0
+      while (i < hs.length) { if (hs(i).matches(url, path, pathQuery)) return false; i += 1 }
+      // domain rules for the full host, then every complete-label suffix
+      var h = host
+      while (h != null) {
+        val ds = domainRules.getOrElse(h, Nil)
+        var j = 0
+        while (j < ds.length) { if (ds(j).matches(url, path, pathQuery)) return false; j += 1 }
+        val dot = h.indexOf('.')
+        h = if (dot < 0) null else h.substring(dot + 1)
+      }
+    }
+    // global rules (`Domain .`) apply to every URL, hostless included
+    val gs = domainRules.getOrElse(".", Nil)
+    var k = 0
+    while (k < gs.length) { if (gs(k).matches(url, path, pathQuery)) return false; k += 1 }
+    true
+  }
+}
+
+object FastUrlFilter {
+  sealed trait Rule extends Serializable {
+    def matches(url: String, path: String, pathQuery: String): Boolean
+  }
+  case object DenyAll extends Rule {
+    def matches(url: String, path: String, pathQuery: String): Boolean = true
+  }
+  final case class DenyPath(regex: String) extends Rule {
+    private val p = java.util.regex.Pattern.compile(regex)
+    def matches(url: String, path: String, pathQuery: String): Boolean =
+      p.matcher(path).find()
+  }
+  final case class DenyPathQuery(regex: String) extends Rule {
+    private val p = java.util.regex.Pattern.compile(regex)
+    def matches(url: String, path: String, pathQuery: String): Boolean =
+      p.matcher(pathQuery).find()
+  }
+
+  private val CatchAll = """^\s*DenyPath(?:Query)?\s+\.[*?]\s*$""".r
+
+  /** Parse the reference rule-file format (FastURLFilter.reloadRules:270-340):
+    * `Host <name>` / `Domain <name>` open a scope; indented
+    * DenyPath/DenyPathQuery lines add rules to it; `#` comments stripped;
+    * malformed rule lines skipped. */
+  def parse(rulesText: String,
+            maxLength: Int = -1, maxLengthPath: Int = -1, maxLengthQuery: Int = -1): FastUrlFilter = {
+    val host = collection.mutable.LinkedHashMap.empty[String, Vector[Rule]]
+    val domain = collection.mutable.LinkedHashMap.empty[String, Vector[Rule]]
+    var current: String = null
+    var isHost = false
+    for (raw <- rulesText.linesIterator) {
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      if (line.nonEmpty) {
+        if (line.startsWith("Host")) { isHost = true; current = line.split("\\s+")(1) }
+        else if (line.startsWith("Domain")) { isHost = false; current = line.split("\\s+")(1) }
+        else if (current != null) {
+          val rule: Option[Rule] =
+            try {
+              if (CatchAll.findFirstIn(line).isDefined) Some(DenyAll)
+              else if (line.startsWith("DenyPathQuery")) Some(DenyPathQuery(line.split("\\s+")(1)))
+              else if (line.startsWith("DenyPath")) Some(DenyPath(line.split("\\s+")(1)))
+              else None
+            } catch { case _: Exception => None }
+          rule.foreach { r =>
+            val m = if (isHost) host else domain
+            m(current) = m.getOrElse(current, Vector.empty) :+ r
+          }
+        }
+      }
+    }
+    FastUrlFilter(host.toMap, domain.toMap, maxLength, maxLengthPath, maxLengthQuery)
+  }
+}
+
 object UrlFilters {
 
   /** Media/binary suffixes dropped by the default rules. */

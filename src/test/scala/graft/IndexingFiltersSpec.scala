@@ -81,6 +81,55 @@ class IndexingFiltersSpec extends AnyFunSuite with SparkSpecBase {
     assert(r.getAs[String]("missing_key") == null)
   }
 
+  test("index-replace: scoped regex replacement, write-on-match, target field") {
+    val filter = ReplaceFilter.parseConf(
+      """hostmatch=\.co\.uk$
+        |title=/Long/Short/
+        |urlmatch=\.png$
+        |title:title_upper=/^(.*)$/IMG $1/
+        |text=/BINARY/B/2
+        |""".stripMargin)
+    val out = filter(docs0)
+    val byUrl = out.collect().map(x => x.getAs[String]("url") -> x).toMap
+    // host-scoped: only the .co.uk doc's title rewritten
+    assert(byUrl("http://sub.example.co.uk/a/page.html").getAs[String]("title")
+      == "A Short Title Far Beyond The Max")
+    assert(byUrl("http://www.example.com/img/pic.png").getAs[String]("title") == "Pic")
+    // url-scoped with target field: only the .png doc gets title_upper
+    assert(byUrl("http://www.example.com/img/pic.png").getAs[String]("title_upper") == "IMG Pic")
+    assert(byUrl("http://other.org/p").getAs[String]("title_upper") == null)
+    // flags component (2 = CASE_INSENSITIVE): 'binary' matched via (?i)
+    assert(byUrl("http://www.example.com/img/pic.png").getAs[String]("text") == "B-ish")
+    assert(byUrl("http://other.org/p").getAs[String]("text") == "plain words here")
+  }
+
+  test("parsefilter-regex: flags from html/text sources, malformed rules skipped") {
+    import graft.parse.ParseFilters
+    val rules = ParseFilters.parseRules(
+      """# comment
+        |has_world text world
+        |has_div html <div\sclass="x">
+        |broken justtwo
+        |""".stripMargin)
+    assert(rules.map(_.field) == Seq("has_world", "has_div"))
+    val docsH = docs0.withColumn("html",
+      when(col("url").endsWith(".html"), lit("""<p><div class="x">hi</div></p>"""))
+        .otherwise(lit("<p>no div</p>")))
+    val out = ParseFilters.flagColumns(docsH, rules)
+    val byUrl = out.collect().map(x => x.getAs[String]("url") -> x).toMap
+    assert(byUrl("http://sub.example.co.uk/a/page.html").getAs[String]("has_world") == "true")
+    assert(byUrl("http://other.org/p").getAs[String]("has_world") == "false")
+    assert(byUrl("http://sub.example.co.uk/a/page.html").getAs[String]("has_div") == "true")
+    assert(byUrl("http://www.example.com/img/pic.png").getAs[String]("has_div") == "false")
+
+    // stampParseMeta folds into an existing parse_meta map
+    val withMeta = docsH.withColumn("parse_meta", map(lit("k"), lit("v")))
+    val pm = ParseFilters.stampParseMeta(withMeta, rules).collect()
+      .map(x => x.getAs[String]("url") -> x.getAs[Map[String, String]]("parse_meta")).toMap
+    assert(pm("http://sub.example.co.uk/a/page.html") ==
+      Map("k" -> "v", "has_world" -> "true", "has_div" -> "true"))
+  }
+
   test("index-anchor: dedup + sort; host-dedup keeps one anchor per linking host") {
     val linkdb = Seq(
       ("http://t.test/a", Seq(
