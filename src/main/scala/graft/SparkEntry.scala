@@ -132,6 +132,8 @@ object SparkEntry {
     // --- index-replace + parsefilter-regex plugins ---
     "q_index_replace" -> (Relational.indexReplace _),
     "q_regex_flags" -> (Relational.regexFlags _),
+    // --- creativecommons + microformats-reltag plugins ---
+    "q_cc_reltag" -> (Relational.ccRelTag _),
     // --- crawldb statistics tools + FreeGenerator ---
     "q_crawl_completion" -> (Relational.crawlCompletion _),
     "q_protocol_status" -> (Relational.protocolStatus _),
@@ -508,6 +510,20 @@ object SparkEntry {
     // then cast REAL (Parse.linkedUpdates credit cast), added to the base
     // score in float (UpdateDbColumnar newScore); discovered targets enter
     // as db_unfetched with score = credit. Float-exact vs the engine.
+    "q_cc_reltag" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN 'http://creativecommons.org/licenses/by-nc/2.0/'
+                     WHEN doc_id % 4 = 1 THEN 'http://creativecommons.org/licenses/by/3.0/'
+                     WHEN doc_id % 4 = 2 THEN 'http://creativecommons.org/licenses/by-sa/1.0/' END AS license_url,
+                CASE WHEN doc_id % 4 = 0 THEN 'rel'
+                     WHEN doc_id % 4 = 1 THEN 'a'
+                     WHEN doc_id % 4 = 2 THEN 'rdf' END AS license_location,
+                CASE WHEN doc_id % 4 = 2 THEN 'text' END AS work_type,
+                CASE WHEN doc_id % 4 = 0 THEN 'license=http://creativecommons.org/licenses/by-nc/2.0/|by|nc|2.0|meta=rel'
+                     WHEN doc_id % 4 = 1 THEN 'license=http://creativecommons.org/licenses/by/3.0/|by|3.0|meta=a'
+                     WHEN doc_id % 4 = 2 THEN 'license=http://creativecommons.org/licenses/by-sa/1.0/|by|sa|1.0|meta=rdf|text' END AS cc,
+                CASE WHEN doc_id % 3 = 0 THEN 'common|t' || CAST(doc_id % 7 AS VARCHAR) END AS rel_tags
+         FROM documents""",
     "q_index_replace" ->
       """WITH b AS (SELECT doc_id,
                 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/d' || CAST(doc_id AS VARCHAR) AS url,

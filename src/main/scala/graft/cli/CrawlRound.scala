@@ -215,7 +215,19 @@ object CrawlRound {
     // (seen/new); persist it so the 16M-row explode+canonicalize+pre-agg
     // pipeline runs once (AQE does not reliably reuse the exchange across
     // the branches)
-    val linked0 = Parse.linkedUpdates(pages, cfg, round)
+    // urlmeta: tagged parents only (tags start from seeds, so this subset
+    // is tiny relative to the frontier — a narrow filter off the existing
+    // scan, no frontier-wide shuffle; AQE broadcasts the small side)
+    val parentMeta: Option[org.apache.spark.sql.DataFrame] =
+      if (cfg.urlMetaTags.isEmpty) None
+      else {
+        Some(frontier.toDF()
+          .select(col("url").as("from_url"),
+            map_filter(col("metadata"),
+              (k, _) => cfg.urlMetaTags.map(t => k === lit(t)).reduce(_ || _)).as("urlmeta"))
+          .filter(size(col("urlmeta")) > 0))
+      }
+    val linked0 = Parse.linkedUpdates(pages, cfg, round, parentMeta)
     val linked = if (seen.isDefined) linked0.persist(StorageLevel.MEMORY_AND_DISK) else linked0
     val newFrontier0 =
       if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(dbIn, fetchUpdates, linked, cfg, now, seen)

@@ -128,6 +128,13 @@ case class CrawlConfig(
     // / file / http all produce it) and strictly more informative as a
     // group-by key. Off by default to keep the no-metadata fast path.
     protocolStatusToCrawlDb: Boolean = false,    // ≙ always-on in reference lib-http
+    // urlmeta plugin (reference src/plugin/urlmeta, urlmeta.tags): frontier
+    // metadata keys listed here propagate from a fetched page onto its
+    // outlink targets, so newly discovered rows inherit the parent's tags
+    // (campaign labels, seed provenance). Transitively sticky: tags ride
+    // the frontier and keep propagating round after round. Empty = off
+    // (no per-row map on the hot path).
+    urlMetaTags: Seq[String] = Nil,
     // seen
     useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,

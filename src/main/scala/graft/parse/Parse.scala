@@ -41,7 +41,8 @@ object Parse {
     * updates. Redirect spans pass the source's full score (meta-redirect
     * semantics, ParseOutputFormat.java:273-293); link/media spans share
     * score / n. */
-  def linkedUpdates(pages: Dataset[FetchedPage], cfg: CrawlConfig, round: Int): Dataset[FrontierUpdate] = {
+  def linkedUpdates(pages: Dataset[FetchedPage], cfg: CrawlConfig, round: Int,
+                    parentMeta: Option[org.apache.spark.sql.DataFrame] = None): Dataset[FrontierUpdate] = {
     val spark = pages.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -118,6 +119,16 @@ object Parse {
     // URLs within the cap get sum == capped sum; the rare over-cap URLs are
     // resolved exactly against the raw credits (top-K by score).
     val depthOn = cfg.scoringDepthMax > 0
+    // urlmeta plugin (reference src/plugin/urlmeta URLMetaScoringFilter
+    // .distributeScoreToOutlinks:30-46): configured frontier-metadata tags
+    // of the PARENT page propagate onto every outlink target, so newly
+    // discovered rows inherit them through updatedb (an existing row keeps
+    // its own metadata — CrawlDbReducer only adopts linked metadata on
+    // first discovery, mirrored by both merge paths). parentMeta carries
+    // (from_url, urlmeta) for tagged parents only; the join is against the
+    // tagged subset, which AQE broadcasts when small (tags usually start
+    // from a handful of seeds).
+    val tagsOn = parentMeta.isDefined && cfg.urlMetaTags.nonEmpty
     // similarity mode: one row per target must carry the BEST parent score
     // (the reference's link-triggered new row takes one parent's score, not
     // a sum — updateDbScore is a no-op for this plugin), so the pre-agg is
@@ -125,21 +136,33 @@ object Parse {
     def creditAgg =
       if (cfg.scoringSimilarityGold.isDefined) max(col("child_score")).as("credit")
       else sum(col("child_score")).as("credit")
-    val perLink = exploded.select(Seq(col("to_url"), col("fetch_time"),
-      col("child_score")) ++ (if (depthOn) Seq(col("child_depth")) else Nil): _*)
+    val explodedT =
+      if (tagsOn) exploded.join(
+        parentMeta.get.select(col("from_url"), col("urlmeta")), Seq("from_url"), "left")
+      else exploded
+    val perLink = explodedT.select(Seq(col("to_url"), col("fetch_time"),
+      col("child_score")) ++ (if (depthOn) Seq(col("child_depth")) else Nil) ++
+      (if (tagsOn) Seq(col("from_url"), col("urlmeta")) else Nil): _*)
     // depth agg (shortest path wins — reference min) only when scoring-depth
     // is on: the default 16M-row pre-agg carries no extra column
     def depthAgg = min(col("child_depth")).as("depth")
+    // deterministic tag inheritance: the lexicographically-smallest TAGGED
+    // parent wins (the reference's last-writer-wins is reducer-order
+    // dependent; min_by ignores rows whose ordering key is null)
+    def tagAgg = min_by(col("urlmeta"),
+      when(col("urlmeta").isNotNull, col("from_url"))).as("urlmeta")
     val agg = perLink
       .groupBy(col("to_url"))
       .agg(creditAgg,
         (Seq(count(lit(1)).as("n_links"),
           max(col("fetch_time")).as("fetch_time")) ++
-          (if (depthOn) Seq(depthAgg) else Nil)): _*)
+          (if (depthOn) Seq(depthAgg) else Nil) ++
+          (if (tagsOn) Seq(tagAgg) else Nil)): _*)
       .transform(df => if (depthOn) df else df.withColumn("depth", lit(1)))
 
+    val metaCols = Seq(col("depth")) ++ (if (tagsOn) Seq(col("urlmeta")) else Nil)
     val within = agg.filter(col("n_links") <= cfg.maxInlinks)
-      .select(col("to_url"), col("credit"), col("fetch_time"), col("depth"))
+      .select(Seq(col("to_url"), col("credit"), col("fetch_time")) ++ metaCols: _*)
     val overKeys = agg.filter(col("n_links") > cfg.maxInlinks)
       .select(col("to_url"), col("fetch_time"))
     val overResolved = perLink
@@ -150,10 +173,21 @@ object Parse {
       .groupBy(col("to_url"))
       .agg(creditAgg,
         (Seq(max(col("fetch_time")).as("fetch_time")) ++
-          (if (depthOn) Seq(depthAgg) else Nil)): _*)
+          (if (depthOn) Seq(depthAgg) else Nil) ++
+          (if (tagsOn) Seq(tagAgg) else Nil)): _*)
       .transform(df => if (depthOn) df else df.withColumn("depth", lit(1)))
-    val credits = within.unionByName(overResolved)
+    val credits = within.unionByName(overResolved.select(within.columns.map(col): _*))
 
+    // per-row maps only when depth scoring or urlmeta tags are on — the
+    // default hot path ships no map allocations
+    val emptyMap = typedLit(Map.empty[String, String])
+    val metadataCol = (depthOn, tagsOn) match {
+      case (false, false) => emptyMap
+      case (true, false)  => map(lit("_depth_"), col("depth").cast("string"))
+      case (false, true)  => coalesce(col("urlmeta"), emptyMap)
+      case (true, true)   => map_concat(coalesce(col("urlmeta"), emptyMap),
+        map(lit("_depth_"), col("depth").cast("string")))
+    }
     credits.select(
       col("to_url").as("url"),
       lit("linked").as("kind"),
@@ -165,11 +199,7 @@ object Parse {
       lit(null).cast("binary").as("signature"),
       lit(0L).as("modified_time"),
       lit(null).cast("string").as("repr_url"),
-      // per-row maps only when depth scoring is on — the default hot path
-      // ships no map allocations
-      (if (cfg.scoringDepthMax > 0)
-        map(lit("_depth_"), col("depth").cast("string"))
-      else typedLit(Map.empty[String, String])).as("metadata"),
+      metadataCol.as("metadata"),
       lit(-1L).as("generate_time")
     ).as[FrontierUpdate]
   }

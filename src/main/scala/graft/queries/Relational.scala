@@ -325,6 +325,51 @@ object Relational {
       .select("doc_id", "has_digit", "has_longword", "has_body")
   }
 
+  /** §2.9 creativecommons + microformats-reltag plugins: CC license
+    * detection (RDF-in-comment ≻ rel=license ≻ plain CC anchor), the
+    * multi-valued `cc` index field, and rel-tag extraction — through the
+    * REAL Microformats walker over deterministic synthetic pages, so the
+    * oracle states every expected value from first principles. */
+  def ccRelTag(s: SparkSession, dir: String): DataFrame = {
+    import graft.parse.Microformats
+    val rdfComment =
+      """<!--<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" """ +
+      """xmlns:cc="http://web.resource.org/cc/" xmlns:dc="http://purl.org/dc/elements/1.1/">""" +
+      """<cc:Work><dc:type rdf:resource="http://purl.org/dc/dcmitype/Text"/></cc:Work>""" +
+      """<cc:License rdf:about="http://creativecommons.org/licenses/by-sa/1.0/"></cc:License>""" +
+      """</rdf:RDF>-->"""
+    val k = col("doc_id")
+    val licensePart =
+      when(k % 4 === 0, lit("""<a rel="license" href="http://creativecommons.org/licenses/by-nc/2.0/">CC</a>"""))
+        .when(k % 4 === 1, lit("""<a href="http://creativecommons.org/licenses/by/3.0/">CC</a>"""))
+        // rdf present AND a rel anchor: rdf must win the precedence
+        .when(k % 4 === 2, lit(rdfComment +
+          """<a rel="license" href="http://creativecommons.org/licenses/by-nc/2.0/">CC</a>"""))
+        .otherwise(lit(""))
+    val tagPart =
+      when(k % 3 === 0, concat(lit("<a rel=\"tag\" href=\"http://ex.org/tags/t"),
+        (k % 7).cast("string"),
+        lit("\">x</a><a rel=\"tag\" href=\"http://ex.org/tags/common\">y</a>")))
+        .otherwise(lit(""))
+    val ccUdf = udf((u: String, h: String) => {
+      val i = Microformats.ccInfo(u, h)
+      (i.licenseUrl, i.licenseLocation, i.workType, Microformats.ccFeatures(i).mkString("|"))
+    })
+    val tagsUdf = udf((h: String) => Microformats.relTags(h).mkString("|"))
+    documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("http://cc.test/d"), k.cast("string")).as("url"),
+        concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+          licensePart, tagPart, lit("</body></html>")).as("html"))
+      .withColumn("_cc", ccUdf(col("url"), col("html")))
+      .select(col("doc_id"),
+        col("_cc._1").as("license_url"),
+        col("_cc._2").as("license_location"),
+        col("_cc._3").as("work_type"),
+        nullif(col("_cc._4"), lit("")).as("cc"),
+        nullif(tagsUdf(col("html")), lit("")).as("rel_tags"))
+  }
+
   /** §2.11 incremental/streaming shape: tumbling-window aggregation. */
   def eventsWindow(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
