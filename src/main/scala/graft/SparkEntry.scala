@@ -116,6 +116,7 @@ object SparkEntry {
     "q_ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(Relational.embeddings(s, d), 0L until 8L, 5)),
     // --- scoring-orphan plugin through the real updatedb merge ---
     "q_orphan_status" -> (Relational.orphanStatus _),
+    "q_adaptive_sort" -> (Relational.adaptiveSort _),
     // --- IndexingFilter plugin chain (basic/more/tld/subcollection/mime/static) ---
     "q_index_fields" -> (Relational.indexFields _),
     // --- URLNormalizer plugin variants (ajax/querystring/protocol/host/slash) ---
@@ -224,6 +225,24 @@ object SparkEntry {
                           WHEN bucket = 3 THEN 1700000000 - 45*86400
                           ELSE NULL END AS BIGINT) AS orphan_stamp,
                 CAST(CASE WHEN link_m = 0 THEN 1.5 ELSE 1.0 END AS DOUBLE) AS new_score
+         FROM b""",
+    // scoring-adaptive generator sort value: the SQL restates the formula
+    // with the SAME association order as AdaptiveScoring.sortValue, so the
+    // double arithmetic is IEEE-identical (score enters as REAL like the
+    // engine's float score column)
+    "q_adaptive_sort" ->
+      """WITH b AS (SELECT o_orderkey AS k FROM orders)
+         SELECT 'u' || CAST(k AS VARCHAR) AS url,
+                CASE CAST(k % 5 AS INTEGER) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 6 END AS status,
+                CAST(
+                  ((((CAST(CAST((k % 10) / 4.0 AS REAL) AS DOUBLE)
+                     + 0.01 * (k % 20))
+                     + (CASE CAST(k % 5 AS INTEGER) WHEN 0 THEN 0.1 WHEN 2 THEN -0.5 ELSE 0 END))
+                     + (CASE WHEN k % 3 = 0 THEN 0.25 ELSE 0 END))
+                     + (CASE WHEN k % 5 = 0 AND k % 4 > 0 THEN -(k % 4) * 0.1
+                             WHEN k % 5 = 0 AND k % 20 <= 7 THEN 0.2 ELSE 0 END))
+                    - (CASE WHEN k % 2 = 0 AND k % 60 > 0 THEN 0.005 * (k % 60) ELSE 0 END)
+                AS DOUBLE) AS sort_value
          FROM b""",
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

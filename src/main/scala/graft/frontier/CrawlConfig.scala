@@ -113,6 +113,25 @@ case class CrawlConfig(
     // generator prioritizes pages similar to the gold standard.
     scoringSimilarityGold: Option[String] = None,
     scoringOrphan: Boolean = false,
+    // scoring-adaptive plugin (reference src/plugin/scoring-adaptive — the
+    // CommonCrawl fork's production generator scorer, see
+    // score/AdaptiveScoring.scala for the full semantics + API changes).
+    // When on: the generator sorts (and min-score-thresholds) by the
+    // adaptive SORT VALUE instead of the raw score; injected seeds and
+    // inlinked rows carry a last-seen stamp (the `_orphan_` key, shared
+    // with scoring-orphan); updatedb retires long-unseen rows to db_orphan
+    // with PER-STATUS time spans (AdaptiveScoringFilter.orphanedScore).
+    scoringAdaptive: Boolean = false,
+    adaptiveFetchTimeFactor: Double = 0.01,      // scoring.adaptive.factor.fetchtime
+    adaptiveLastSeenFactor: Double = 0.005,      // scoring.adaptive.factor.lastseentime
+    adaptiveRetryPenalty: Double = 0.1,          // scoring.adaptive.penalty.fetch_retry
+    adaptiveInjectedBoost: Double = 0.2,         // scoring.adaptive.boost.injected
+    adaptiveStatusSort: Map[Int, Double] = Map.empty,      // adaptive-scoring.txt: status rows
+    adaptiveContentTypeSort: Map[String, Double] = Map.empty, // adaptive-scoring.txt: Content-Type: rows
+    adaptiveOrphanAnySec: Long = 60L * 24 * 30 * 12 * 60,  // scoring.adaptive.mark.orphan.after (ref: minutes)
+    adaptiveOrphanRedirectSec: Long = 60L * 24 * 30 * 4 * 60, // ...mark.redirect.orphan.after
+    adaptiveOrphanUnfetchedSec: Long = 60L * 24 * 30 * 12 * 60, // ...mark.unfetched.orphan.after (def = any)
+    adaptiveOrphanGoneSec: Long = 60L * 24 * 30 * 4 * 60,  // ...mark.gone.orphan.after
     orphanGoneAfterSec: Long = 30L * 24 * 3600,   // scoring.orphan.mark.gone.after
     orphanOrphanAfterSec: Long = 40L * 24 * 3600, // scoring.orphan.mark.orphan.after
     purgeOrphans: Boolean = false,               // db.update.purge.orphans
@@ -140,4 +159,9 @@ case class CrawlConfig(
     bloomExpectedItems: Long = 1L << 22,
     bloomFpp: Double = 0.01,
     seenBloomShards: Int = 1                     // >1: k-sharded filter; a round re-broadcasts ONE shard (the 10^10 path)
-)
+) {
+  /** Last-seen-by-seed-or-link stamping is maintained when either consumer
+    * plugin is on (scoring-orphan reads it with flat spans, scoring-adaptive
+    * with per-status spans + generator sort penalty). */
+  def lastSeenTracking: Boolean = scoringOrphan || scoringAdaptive
+}

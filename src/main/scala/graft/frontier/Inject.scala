@@ -54,6 +54,14 @@ object Inject {
     Some(Seed(url, score, interval, meta))
   }
 
+  /** scoring-adaptive injectedScore (AdaptiveScoringFilter.java:329-334):
+    * injected seeds are stamped as seen-now so the last-seen generator
+    * penalty and per-status orphan spans count from injection. */
+  private def stampLastSeen(e: FrontierEntry, cfg: CrawlConfig, now: Long): FrontierEntry = {
+    if (!cfg.scoringAdaptive) e
+    else e.copy(metadata = e.metadata + (UpdateDb.OrphanKey -> (now / 1000L).toString))
+  }
+
   def seedToEntry(s: Seed, now: Long): FrontierEntry = {
     val host = Urls.hostOf(s.url)
     FrontierEntry(s.url, Urls.hash64(s.url), host, Urls.registeredDomainOf(host),
@@ -78,7 +86,7 @@ object Inject {
       .flatMap(parseSeedLine(_, cfg))
       .groupByKey(_.url)
       .reduceGroups((a, b) => if (a.score >= b.score) a else b) // dedup seeds, best score wins
-      .map { case (_, s) => seedToEntry(s, now) }
+      .map { case (_, s) => stampLastSeen(seedToEntry(s, now), cfg, now) }
 
     // typed co-group: one shuffle, same join shape as the reference's
     // MultipleInputs reduce (seed ∪ crawldb co-grouped by url)

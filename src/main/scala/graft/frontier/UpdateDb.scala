@@ -86,7 +86,10 @@ object UpdateDb {
     if (fetch == null) { // orphan: re-emit old unchanged (reference :155-172
       // calls orphanedScore on exactly this not-fetched-not-linked path)
       var pass = toEntry(old, url)
-      if (cfg.scoringOrphan) pass = orphanedScore(pass, cfg, now)
+      if (cfg.scoringAdaptive) pass = pass.copy(status =
+        graft.score.AdaptiveScoring.orphanStatusFor(pass.status, pass.retries,
+          pass.metadata.get(OrphanKey).flatMap(_.toLongOption), cfg, now))
+      else if (cfg.scoringOrphan) pass = orphanedScore(pass, cfg, now)
       if (cfg.purgeOrphans && pass.status == DB_ORPHAN) return None
       return Some(pass)
     }
@@ -174,10 +177,15 @@ object UpdateDb {
       else if (old != null) e
       else e.copy(score = inlinks.iterator.map(_.score).max)
     // scoring-orphan updateDbScore (plugin :77-91): inlinked this round ⇒
-    // stamp last-inlinked = now; otherwise run the orphan/gone check
-    if (cfg.scoringOrphan) {
+    // stamp last-inlinked = now; otherwise run the orphan/gone check.
+    // scoring-adaptive shares the stamp but retires with PER-STATUS spans
+    // (AdaptiveScoringFilter.orphanedScore:407-457, db_orphan only).
+    if (cfg.lastSeenTracking) {
       out =
         if (inlinks.nonEmpty) out.copy(metadata = out.metadata + (OrphanKey -> (now / 1000L).toString))
+        else if (cfg.scoringAdaptive) out.copy(status =
+          graft.score.AdaptiveScoring.orphanStatusFor(out.status, out.retries,
+            out.metadata.get(OrphanKey).flatMap(_.toLongOption), cfg, now))
         else orphanedScore(out, cfg, now)
       if (cfg.purgeOrphans && out.status == DB_ORPHAN) return None
     }
@@ -229,7 +237,7 @@ object UpdateDb {
             // definitely-new link rows keep their metadata (depth stamp);
             // scoring-orphan stamps them as inlinked-now (they ARE links)
             val meta0 = Option(u.metadata).getOrElse(Map.empty[String, String])
-            val meta = if (cfg.scoringOrphan) meta0 + (OrphanKey -> (now / 1000L).toString) else meta0
+            val meta = if (cfg.lastSeenTracking) meta0 + (OrphanKey -> (now / 1000L).toString) else meta0
             schedule.initialize(
               FrontierEntry(u.url, Urls.hash64(u.url), host, Urls.registeredDomainOf(host),
                 CrawlStatus.DB_UNFETCHED, now, 0, cfg.fetchIntervalDefault, u.score,

@@ -79,7 +79,7 @@ object UpdateDbColumnar {
             {
               val base = coalesce(col("metadata"),
                 map_from_arrays(array().cast("array<string>"), array().cast("array<string>")))
-              if (cfg.scoringOrphan)
+              if (cfg.lastSeenTracking)
                 map_concat_safe(base, map(lit(UpdateDb.OrphanKey), lit((now / 1000L).toString))).as("metadata")
               else base.as("metadata")
             })
@@ -282,13 +282,19 @@ object UpdateDbColumnar {
     // overflow forceRefetch, which the typed path also resolves first).
     val statusResolved = when(overflow, lit(DB_UNFETCHED)).otherwise(newStatus)
     val (orphanStatus, orphanMeta): (Column, Column) =
-      if (!cfg.scoringOrphan) (statusResolved, newMeta)
+      if (!cfg.lastSeenTracking) (statusResolved, newMeta)
       else {
         val nowSec = now / 1000L
         val last = element_at(newMeta, lit(UpdateDb.OrphanKey)).try_cast("long")
-        val checked = when(last.isNotNull && (lit(nowSec) - last) > cfg.orphanOrphanAfterSec, lit(DB_ORPHAN))
-          .when(last.isNotNull && (lit(nowSec) - last) > cfg.orphanGoneAfterSec, lit(DB_GONE))
-          .otherwise(statusResolved)
+        // scoring-adaptive retires with per-status spans (and only ever to
+        // db_orphan); plain scoring-orphan keeps the two flat thresholds
+        val checked =
+          if (cfg.scoringAdaptive)
+            graft.score.AdaptiveScoring.orphanStatusExpr(statusResolved,
+              when(overflow, lit(0)).otherwise(newRetries), last, cfg, now)
+          else when(last.isNotNull && (lit(nowSec) - last) > cfg.orphanOrphanAfterSec, lit(DB_ORPHAN))
+            .when(last.isNotNull && (lit(nowSec) - last) > cfg.orphanGoneAfterSec, lit(DB_GONE))
+            .otherwise(statusResolved)
         (when(hasLink, statusResolved).otherwise(checked),
          when(hasLink, map_concat_safe(newMeta, map(lit(UpdateDb.OrphanKey), lit(nowSec.toString))))
            .otherwise(newMeta))

@@ -47,6 +47,13 @@ object Generator {
     }
   }
 
+  /** The generator sort value (scoring-filter generatorSortValue): the raw
+    * OPIC score by default; the scoring-adaptive expression when that
+    * plugin is on (see score/AdaptiveScoring.sortValue). */
+  def sortValue(cfg: CrawlConfig, now: Long): Column =
+    if (cfg.scoringAdaptive) graft.score.AdaptiveScoring.sortValue(cfg, now)
+    else col("score").cast("double")
+
   def eligible(
       frontier: Dataset[FrontierEntry],
       cfg: CrawlConfig,
@@ -60,7 +67,11 @@ object Generator {
         CrawlStatus.DB_REDIR_PERM.toInt))
       .filter(col("fetch_time") <= now)
       .filter(col("generate_time") < 0 || col("generate_time") + cfg.generateDelayMs <= now)
-      .filter(col("score") >= cfg.minScore)
+      // generate.min.score thresholds the scoring-filter SORT VALUE
+      // (reference Generator.java:225-231 applies scoreThreshold to
+      // scfilters.generatorSortValue) — raw score under OPIC, the adaptive
+      // sort expression under scoring-adaptive
+      .filter(sortValue(cfg, now) >= cfg.minScore)
     // user predicate over frontier columns — the reference's JEXL expression
     // filter (CrawlDatum.execute), deliberately re-based on Spark SQL text so
     // Catalyst can push/reorder it
@@ -119,7 +130,12 @@ object Generator {
     val byDomain = cfg.generateCountMode == "domain"
     val depthOn = cfg.scoringDepthMax > 0
     val keyCol = if (byDomain) col("domain") else col("host")
-    val sortCols = if (byDomain) Seq(col("domain"), desc("score")) else Seq(desc("score"))
+    // best-first ordering: the scoring filter's generatorSortValue — raw
+    // score under OPIC, the adaptive expression under scoring-adaptive
+    // (stays a Catalyst column, so it rides INSIDE the sortWithinPartitions
+    // codegen — no extra pass, no UDF)
+    val sortExpr = sortValue(cfg, now)
+    val sortCols = if (byDomain) Seq(col("domain"), sortExpr.desc) else Seq(sortExpr.desc)
 
     val selected: Dataset[FetchTask] = eligible(frontier, cfg, now, badHosts)
       // domain mode partitions purely by domain hash (Generator2 has no

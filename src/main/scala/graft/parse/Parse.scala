@@ -176,7 +176,7 @@ object Parse {
           (if (depthOn) Seq(depthAgg) else Nil) ++
           (if (tagsOn) Seq(tagAgg) else Nil)): _*)
       .transform(df => if (depthOn) df else df.withColumn("depth", lit(1)))
-    val credits = within.unionByName(overResolved.select(within.columns.map(col): _*))
+    val credits = within.unionByName(overResolved.select(within.columns.toIndexedSeq.map(col): _*))
 
     // per-row maps only when depth scoring or urlmeta tags are on — the
     // default hot path ships no map allocations

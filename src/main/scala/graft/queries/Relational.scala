@@ -228,6 +228,42 @@ object Relational {
         col("score").cast("double").as("new_score"))
   }
 
+  /** §2.5 scoring-adaptive generator sort value (reference
+    * src/plugin/scoring-adaptive AdaptiveScoringFilter.generatorSortValue):
+    * a synthetic frontier exercising EVERY branch of the adaptive formula —
+    * fetch-time boost, per-status and per-content-type adjustments, retry
+    * penalty vs injected boost, last-seen penalty — through the REAL
+    * Catalyst expression the generator sorts by. The oracle restates the
+    * formula in SQL with the identical association order, so doubles match
+    * bit-for-bit. */
+  def adaptiveSort(s: SparkSession, dir: String): DataFrame = {
+    import graft.schema.CrawlStatus._
+    val cfg = CrawlConfig(scoringAdaptive = true,
+      adaptiveStatusSort = Map(DB_UNFETCHED.toInt -> 0.1, DB_GONE.toInt -> -0.5),
+      adaptiveContentTypeSort = Map("text/html" -> 0.25))
+    val now = 1700000000000L
+    val day = 86400000L
+    val k = col("o_orderkey")
+    val status = element_at(typedLit(Seq(DB_UNFETCHED.toInt, DB_FETCHED.toInt,
+      DB_GONE.toInt, DB_REDIR_TEMP.toInt, DB_NOTMODIFIED.toInt)), (k % 5).cast("int") + 1)
+    val retries = when(status === DB_UNFETCHED.toInt, (k % 4).cast("int")).otherwise(lit(0))
+    val ctMeta = map(lit("content_type"), lit("text/html"))
+    val seenMeta = map(lit(UpdateDb.OrphanKey),
+      (lit(now / 1000L) - (k % 60) * lit(86400L)).cast("string"))
+    val frontier = orders(s, dir).select(
+      concat(lit("u"), k.cast("string")).as("url"),
+      status.cast("byte").as("status"),
+      retries.as("retries"),
+      (lit(now) - (k % 20) * lit(day)).as("fetch_time"),
+      ((k % 10).cast("double") / 4.0d).cast("float").as("score"),
+      when(k % 3 === 0 && k % 2 === 0, map_concat(ctMeta, seenMeta))
+        .when(k % 3 === 0, ctMeta)
+        .when(k % 2 === 0, seenMeta)
+        .otherwise(typedLit(Map.empty[String, String])).as("metadata"))
+    frontier.select(col("url"), col("status").cast("int").as("status"),
+      graft.score.AdaptiveScoring.sortValue(cfg, now).as("sort_value"))
+  }
+
   /** Synthetic frontier rows from orders for the crawldb statistics tools:
     * five crawl states, 40 hosts, a protocol-status stamp on every row the
     * last fetch touched (reference HttpBase.java:369-370 stamping). */
