@@ -1,6 +1,7 @@
 package graft.cli
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, explode}
 
 import graft.fetch.Fetcher
 import graft.frontier.CrawlConfig
@@ -122,6 +123,25 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     val cleaned = graft.frontier.FrontierTools.filterAndNormalize(typedFrontier, purge404)
     store.commit("frontier", cleaned.toDF(), lastRound + 1)
   }
+
+  /** scoring-link's score refresh (reference bin/crawl's webgraph →
+    * linkrank → scoreupdater sequence, scoring/webgraph/ScoreUpdater.java):
+    * run LinkRank over the linkdb edges and install the node ranks as
+    * frontier scores; URLs absent from the graph are cleared to
+    * link.score.updater.clear.score. Requires cfg.invertLinks (a linkdb).
+    * Returns false when no linkdb exists yet. */
+  def updateScoresFromWebGraph(iterations: Int = 10, damping: Double = 0.85): Boolean =
+    linkDb match {
+      case Some(ldb) =>
+        val edges = ldb.select(col("url").as("to_url"), explode(col("inlinks")).as("i"))
+          .select(col("i.from_url").as("from_url"), col("to_url"))
+        val ranks = graft.frontier.LinkRank.run(edges, iterations, damping)
+        val updated = graft.frontier.LinkRank.updateScores(typedFrontier, ranks,
+          cfg.linkScoreUpdaterClearScore)
+        store.commit("frontier", updated.toDF(), lastRound + 1)
+        true
+      case None => false
+    }
 
   /** Sitemap stage (reference SitemapProcessor / `bin/crawl --sitemaps-from-hostdb`):
     * fetch the sitemaps advertised by the frontier's hosts and inject their

@@ -219,12 +219,12 @@ object CrawlRound {
     // is tiny relative to the frontier — a narrow filter off the existing
     // scan, no frontier-wide shuffle; AQE broadcasts the small side)
     val parentMeta: Option[org.apache.spark.sql.DataFrame] =
-      if (cfg.urlMetaTags.isEmpty) None
+      if (cfg.frontierRelayKeys.isEmpty) None
       else {
         Some(frontier.toDF()
           .select(col("url").as("from_url"),
             map_filter(col("metadata"),
-              (k, _) => cfg.urlMetaTags.map(t => k === lit(t)).reduce(_ || _)).as("urlmeta"))
+              (k, _) => cfg.frontierRelayKeys.map(t => k === lit(t)).reduce(_ || _)).as("urlmeta"))
           .filter(size(col("urlmeta")) > 0))
       }
     val linked0 = Parse.linkedUpdates(pages, cfg, round, parentMeta)
@@ -299,8 +299,15 @@ object CrawlRound {
         round, allowRewind = true)
     }
     if (cfg.invertLinks) timed("invertlinks") {
-      store.commit("linkdb", graft.frontier.LinkDb.invert(pages, cfg.maxInlinks), round,
-        allowRewind = true)
+      // the reference's invertlinks runs over the NEW segment and merges
+      // into the existing linkdb (LinkDbMerger) — a round that fetched
+      // nothing must not wipe the graph
+      val fresh = graft.frontier.LinkDb.invert(pages, cfg.maxInlinks)
+      val merged = store.load(spark, "linkdb") match {
+        case Some(prev) => graft.frontier.LinkDb.merge(prev, fresh, cfg.maxInlinks)
+        case None => fresh
+      }
+      store.commit("linkdb", merged, round, allowRewind = true)
     }
 
     // --- per-partition lineage + metrics (north rule; from accumulators,

@@ -154,6 +154,32 @@ case class CrawlConfig(
     // the frontier and keep propagating round after round. Empty = off
     // (no per-row map on the hot path).
     urlMetaTags: Seq[String] = Nil,
+    // scoring-metadata plugin (reference src/plugin/scoring-metadata
+    // MetadataScoringFilter): three key lists gate a three-stage relay —
+    // scoring.db.md (crawldb datum → content, passScoreBeforeParsing),
+    // scoring.content.md (content → parse, passScoreAfterParsing),
+    // scoring.parse.md (parse → outlink targets,
+    // distributeScoreToOutlinks). This engine fuses fetch+parse into one
+    // stage, so the COMPOSED effects are what's realized (documented API
+    // change): a frontier metadata key listed in all three lists relays the
+    // parent row's value onto outlink targets (the urlmeta join path); a
+    // content-stage key (content_type, mime) listed in content.md ∩
+    // parse.md — or a parse-computed key (title, n_spans) listed in
+    // parse.md — stamps the PAGE's value onto its outlink targets with no
+    // join at all (the page is the source).
+    scoringMetadataDb: Seq[String] = Nil,        // scoring.db.md
+    scoringMetadataContent: Seq[String] = Nil,   // scoring.content.md
+    scoringMetadataParse: Seq[String] = Nil,     // scoring.parse.md
+    // scoring-link plugin (reference src/plugin/scoring-link
+    // LinkAnalysisScoringFilter): OPIC credit distribution is OFF — newly
+    // discovered rows enter at score 0 (initialScore), links never change
+    // an existing row's score (updateDbScore is the no-op default), and
+    // scores come exclusively from the WebGraph→LinkRank→ScoreUpdater
+    // sequence (Crawl.updateScoresFromWebGraph). Generator sort stays
+    // score-descending; the indexer boost is normalizedScore × db score.
+    scoringLink: Boolean = false,
+    linkScoreUpdaterClearScore: Float = 0.0f,    // link.score.updater.clear.score
+    linkAnalysisNormalizedScore: Double = 1.0,   // link.analyze.normalize.score
     // seen
     useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,
@@ -164,4 +190,19 @@ case class CrawlConfig(
     * plugin is on (scoring-orphan reads it with flat spans, scoring-adaptive
     * with per-status spans + generator sort penalty). */
   def lastSeenTracking: Boolean = scoringOrphan || scoringAdaptive
+
+  /** Frontier metadata keys relayed parent → outlink targets: urlmeta tags
+    * plus scoring-metadata keys present in all three stage lists (the
+    * composed datum→content→parse→outlinks path). */
+  def frontierRelayKeys: Seq[String] =
+    (urlMetaTags ++ scoringMetadataDb.intersect(scoringMetadataContent)
+      .intersect(scoringMetadataParse)).distinct
+
+  /** Page-sourced keys stamped onto outlink targets: content-stage values
+    * (content_type, mime) need content.md ∩ parse.md; parse-computed values
+    * (title, n_spans) need parse.md only. */
+  def pageRelayKeys: Seq[String] =
+    (scoringMetadataContent.intersect(scoringMetadataParse)
+      .intersect(Seq("content_type", "mime")) ++
+      scoringMetadataParse.intersect(Seq("title", "n_spans"))).distinct
 }

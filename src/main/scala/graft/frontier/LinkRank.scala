@@ -1,6 +1,6 @@
 package graft.frontier
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -53,5 +53,20 @@ object LinkRank {
     val out = ranks
     e.unpersist(); withDeg.unpersist()
     out
+  }
+
+  /** ScoreUpdater twin (reference scoring/webgraph/ScoreUpdater.java
+    * reduce:40-70): left-join the frontier with LinkRank node scores — a
+    * ranked URL's score becomes its rank; a URL absent from the node db has
+    * its score cleared to link.score.updater.clear.score (default 0).
+    * One frontier-wide join, no window, no driver collect. */
+  def updateScores(frontier: Dataset[graft.schema.FrontierEntry], ranks: DataFrame,
+                   clearScore: Float = 0.0f): Dataset[graft.schema.FrontierEntry] = {
+    import frontier.sparkSession.implicits._
+    frontier.toDF()
+      .join(ranks.select(col("url"), col("rank")), Seq("url"), "left_outer")
+      .withColumn("score", coalesce(col("rank").cast("float"), lit(clearScore)))
+      .drop("rank")
+      .as[graft.schema.FrontierEntry]
   }
 }

@@ -125,11 +125,11 @@ object UpdateDbColumnar {
             (if (simOn) Seq(col("_w.f_score").as("f_score")) else Nil): _*)
       }
 
-    // link metadata only exists when depth scoring or urlmeta tags stamp
-    // it — the default path must not drag a per-row map column through the
-    // join shuffle
+    // link metadata only exists when depth scoring, urlmeta tags or
+    // scoring-metadata relays stamp it — the default path must not drag a
+    // per-row map column through the join shuffle
     val l =
-      if (cfg.scoringDepthMax > 0 || cfg.urlMetaTags.nonEmpty)
+      if (cfg.scoringDepthMax > 0 || cfg.frontierRelayKeys.nonEmpty || cfg.pageRelayKeys.nonEmpty)
         linked.toDF().select(
           col("url").as("l_url"), col("score").as("l_credit"),
           col("metadata").as("l_meta"))

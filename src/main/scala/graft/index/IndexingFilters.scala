@@ -216,6 +216,43 @@ case class MetadataFieldsFilter(keys: Seq[String], mapCol: String = "parse_meta"
     else keys.foldLeft(docs)((d, k) => d.withColumn(k, element_at(col(mapCol), k)))
 }
 
+/** scoring-link indexer boost (reference src/plugin/scoring-link
+  * LinkAnalysisScoringFilter.indexerScore:35-44): document boost =
+  * link.analyze.normalize.score × the crawldb score (the LinkRank rank
+  * installed by ScoreUpdater). Docs without a score column pass through. */
+case class LinkAnalysisScoreFilter(normalizedScore: Double = 1.0) extends IndexingFilter {
+  override def name: String = "scoring-link"
+  override def apply(docs: DataFrame): DataFrame =
+    if (!IndexingFilter.hasCol(docs, "score")) docs
+    else docs.withColumn("boost", lit(normalizedScore) * col("score").cast("double"))
+}
+
+/** index-arbitrary (reference src/plugin/index-arbitrary
+  * ArbitraryIndexingFilter.java:93-180): user-supplied logic computes a new
+  * index field per document. The reference reflectively instantiates a
+  * custom class and invokes a method per doc; re-based here on an arbitrary
+  * Spark SQL expression over the document's columns — the same "bring your
+  * own field logic" surface, but the user code stays inside whole-stage
+  * codegen instead of a per-row reflective call (documented API change,
+  * like the JEXL→SQL re-basings). Each entry is (field, expression,
+  * overwrite): overwrite=true replaces an existing field (the reference's
+  * doc.setField branch); overwrite=false on an existing field appends into
+  * a multivalued array (the NutchDocument.add branch); a new field is
+  * simply created. */
+case class ArbitraryFieldsFilter(fields: Seq[(String, String, Boolean)]) extends IndexingFilter {
+  override def name: String = "index-arbitrary"
+  override def apply(docs: DataFrame): DataFrame =
+    fields.foldLeft(docs) { case (d, (field, exprText, overwrite)) =>
+      val v = expr(exprText)
+      if (!IndexingFilter.hasCol(d, field) || overwrite) d.withColumn(field, v)
+      else d.schema(field).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          d.withColumn(field, array_append(col(field), v))
+        case _ => d.withColumn(field, array(col(field), v))
+      }
+    }
+}
+
 /** index-jexl-filter: drop documents failing a configured predicate — the
   * JEXL expression surface re-based on Spark SQL (same documented API change
   * as the generator's expression filter). */

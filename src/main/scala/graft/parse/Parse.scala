@@ -1,6 +1,6 @@
 package graft.parse
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.fetch.FetchedPage
@@ -47,11 +47,33 @@ object Parse {
     import spark.implicits._
     GraftFunctions.register(spark)
 
+    // scoring-metadata page-sourced relay (reference MetadataScoringFilter
+    // .distributeScoreToOutlinks with content/parse-stage keys): the PAGE's
+    // own content_type / mime / title / n_spans stamped onto each outlink
+    // target — computed inline from the fetched page (it IS the source), no
+    // join. Values resolve before the slice/explode so the map is built
+    // once per page, not once per link.
+    val pageKeys = cfg.pageRelayKeys
+    def pageMetaValue(k: String): Column = k match {
+      case "content_type" => col("content_type")
+      case "mime" => call_function("mime_resolve", col("content_type"), col("url"))
+      case "n_spans" => size(col("spans")).cast("string")
+      case "title" =>
+        element_at(filter(col("spans"), s => s.getField("kind") === "text"), 1).getField("text")
+      case other => lit(null).cast("string") // unknown key: never stamped
+    }
+    val pageMetaCol: Column =
+      if (pageKeys.isEmpty) typedLit(Map.empty[String, String])
+      else map_from_entries(filter(
+        array(pageKeys.map(k => struct(lit(k).as("key"), pageMetaValue(k).as("value"))): _*),
+        e => e.getField("value").isNotNull))
+
     val exploded0 = pages.toDF()
       .filter(col("status").isin(CrawlStatus.FETCH_SUCCESS.toInt,
         CrawlStatus.FETCH_REDIR_PERM.toInt, CrawlStatus.FETCH_REDIR_TEMP.toInt))
       .select(col("url").as("from_url"), col("host").as("from_host"),
         col("score"), col("fetch_time"), col("depth"),
+        pageMetaCol.as("pagemeta"),
         // over-long outlinks dropped (db.max.outlink.length) and cap applied
         // BEFORE exploding: slice bounds the blowup (db.max.outlinks.per.page)
         slice(filter(col("spans"), s => s.getField("kind").isin("link", "media", "redirect") &&
@@ -65,8 +87,10 @@ object Parse {
               s.getField("kind") === "redirect")),
           1, cfg.maxOutlinksPerPage).as("links"))
       .withColumn("n", greatest(size(col("links")), lit(1)))
-      .select(col("from_url"), col("from_host"), col("score"), col("fetch_time"),
-        col("depth"), col("n"), explode(col("links")).as("l"))
+      .select((Seq(col("from_url"), col("from_host"), col("score"), col("fetch_time"),
+        col("depth"), col("n")) ++
+        (if (pageKeys.nonEmpty) Seq(col("pagemeta")) else Nil) :+
+        explode(col("links")).as("l")): _*)
       // redirect targets inherit the source depth; real links are one deeper.
       // Depth off: constant — the extra agg below folds to nothing real.
       .withColumn("child_depth",
@@ -106,8 +130,13 @@ object Parse {
     val exploded = exploded0
       .withColumn("child_score",
         // scoring-similarity: every target inherits the FULL page score
-        // (SimilarityScoringFilter.distributeScoreToOutlinks — no 1/n split)
-        if (cfg.scoringSimilarityGold.isDefined) col("score")
+        // (SimilarityScoringFilter.distributeScoreToOutlinks — no 1/n split).
+        // scoring-link: no OPIC distribution at all — targets enter at the
+        // initialScore of 0 and keep whatever ScoreUpdater installs later
+        // (LinkAnalysisScoringFilter leaves distribute/updateDbScore as the
+        // no-op defaults, initialScore = 0).
+        if (cfg.scoringLink) lit(0.0f)
+        else if (cfg.scoringSimilarityGold.isDefined) col("score")
         else when(col("l.kind") === "redirect", col("score"))
           .otherwise(col("score") / col("n") *
             when(col("internal"), lit(cfg.scoreInternalFactor)).otherwise(lit(cfg.scoreExternalFactor))))
@@ -128,7 +157,9 @@ object Parse {
     // (from_url, urlmeta) for tagged parents only; the join is against the
     // tagged subset, which AQE broadcasts when small (tags usually start
     // from a handful of seeds).
-    val tagsOn = parentMeta.isDefined && cfg.urlMetaTags.nonEmpty
+    val frontierTagsOn = parentMeta.isDefined && cfg.frontierRelayKeys.nonEmpty
+    val pageTagsOn = pageKeys.nonEmpty
+    val tagsOn = frontierTagsOn || pageTagsOn
     // similarity mode: one row per target must carry the BEST parent score
     // (the reference's link-triggered new row takes one parent's score, not
     // a sum — updateDbScore is a no-op for this plugin), so the pre-agg is
@@ -136,10 +167,27 @@ object Parse {
     def creditAgg =
       if (cfg.scoringSimilarityGold.isDefined) max(col("child_score")).as("credit")
       else sum(col("child_score")).as("credit")
-    val explodedT =
-      if (tagsOn) exploded.join(
+    // per-link inherited metadata: frontier-relayed parent tags (join
+    // against the tagged-parents subset) unioned with page-sourced values
+    // (inline — page wins on a key collision, like the reference's
+    // last-put-wins in parseData)
+    def mapConcatSafe(a: Column, b: Column): Column = {
+      val empty = map_from_arrays(array().cast("array<string>"), array().cast("array<string>"))
+      val aa = coalesce(a, empty)
+      val bb = coalesce(b, empty)
+      map_from_entries(concat(
+        filter(map_entries(aa), e => !map_contains_key(bb, e.getField("key"))),
+        map_entries(bb)))
+    }
+    val explodedT = (frontierTagsOn, pageTagsOn) match {
+      case (true, false) => exploded.join(
         parentMeta.get.select(col("from_url"), col("urlmeta")), Seq("from_url"), "left")
-      else exploded
+      case (false, true) => exploded.withColumn("urlmeta", col("pagemeta"))
+      case (true, true) => exploded.join(
+          parentMeta.get.select(col("from_url"), col("urlmeta").as("_fmeta")), Seq("from_url"), "left")
+        .withColumn("urlmeta", mapConcatSafe(col("_fmeta"), col("pagemeta")))
+      case _ => exploded
+    }
     val perLink = explodedT.select(Seq(col("to_url"), col("fetch_time"),
       col("child_score")) ++ (if (depthOn) Seq(col("child_depth")) else Nil) ++
       (if (tagsOn) Seq(col("from_url"), col("urlmeta")) else Nil): _*)

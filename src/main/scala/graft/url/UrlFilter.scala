@@ -79,6 +79,71 @@ case class RegexUrlFilter(rules: Seq[(Boolean, String)]) extends UrlFilter {
   }
 }
 
+/** urlfilter-validator (reference src/plugin/urlfilter-validator/
+  * UrlValidator.java — the Commons-Validator RFC 2396 syntax check):
+  * rejects URLs that merely *look* crawlable but are syntactically broken.
+  * Checks, in the reference's order (:112-137):
+  *   - printable-ASCII only (0x21–0x7E, no spaces/control/UTF-8);
+  *   - RFC 2396 appendix-B decomposition into scheme/authority/path/query;
+  *   - scheme present, letters only;
+  *   - authority = IPv4 (each octet ≤ 255) or hostname whose dot-separated
+  *     atoms avoid the special set `;/@&=,.?:+$`, with a ≥2-char TLD that
+  *     starts with a letter and at least two labels; optional `:digits{1,5}`
+  *     port; nothing trailing;
+  *   - path matches the allowed-character production and `..` traversal
+  *     segments are out-numbered by real segments (slashes − doubled
+  *     slashes − 1 > dot-dot count);
+  *   - query: anything (always valid once the split succeeded). */
+object ValidatorUrlFilter extends UrlFilter {
+  // RFC 2396 appendix-B reference regex (the spec's own decomposition)
+  private val UrlRe = """^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?""".r
+  private val AsciiRe = """^[\x21-\x7E]+$""".r
+  private val SchemeRe = "^[a-zA-Z]+$".r
+  private val AuthorityRe = """^([a-zA-Z0-9\-.]*)(:\d*)?(.*)?$""".r
+  private val Ipv4Re = """^(\d{1,3})[.](\d{1,3})[.](\d{1,3})[.](\d{1,3})$""".r
+  private val AtomStr = """[^\s;/@&=,.?:+$]+"""
+  private val DomainRe = ("^" + AtomStr + "(\\." + AtomStr + ")*$").r
+  private val PathRe = """^(/[-\w:@&?=+,.!/~*'%$_;()]*)?$""".r
+  private val PortRe = """^:\d{1,5}$""".r
+
+  private def count(token: String, s: String): Int = {
+    var n = 0; var i = s.indexOf(token)
+    while (i >= 0) { n += 1; i = s.indexOf(token, i + token.length) }
+    n
+  }
+
+  override def accept(url: String): Boolean = {
+    if (url == null || AsciiRe.findFirstIn(url).isEmpty) return false
+    url match {
+      case UrlRe(_, scheme, _, authority, path, _, _, _, _) =>
+        if (scheme == null || SchemeRe.findFirstIn(scheme).isEmpty) return false
+        if (authority == null) return false
+        authority match {
+          case AuthorityRe(hostIp, port, extra) =>
+            val okHost = hostIp match {
+              case Ipv4Re(a, b, c, d) =>
+                Seq(a, b, c, d).forall(s => s.nonEmpty && s.toInt <= 255)
+              case _ =>
+                if (DomainRe.findFirstIn(hostIp).isEmpty) false
+                else {
+                  val segments = hostIp.split("\\.", -1)
+                  val top = segments.last
+                  segments.length >= 2 && top.length >= 2 && top.head.isLetter
+                }
+            }
+            if (!okHost) return false
+            if (port != null && PortRe.findFirstIn(port).isEmpty) return false
+            if (extra != null && extra.trim.nonEmpty) return false
+          case _ => return false
+        }
+        if (path == null || PathRe.findFirstIn(path).isEmpty) return false
+        val dot2 = count("..", path)
+        dot2 <= 0 || (count("/", path) - count("//", path) - 1) > dot2
+      case _ => false
+    }
+  }
+}
+
 /** urlfilter-fast (reference src/plugin/urlfilter-fast/FastURLFilter.java):
   * deny rules scoped to a host or domain so only that bucket's regexes ever
   * run per URL — a hash lookup on the host plus its domain suffixes instead

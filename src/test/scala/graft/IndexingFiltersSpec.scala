@@ -81,6 +81,19 @@ class IndexingFiltersSpec extends AnyFunSuite with SparkSpecBase {
     assert(r.getAs[String]("missing_key") == null)
   }
 
+  test("index-arbitrary: expression fields — create, overwrite, multivalued add") {
+    val chain = IndexingFilterChain(Seq(ArbitraryFieldsFilter(Seq(
+      ("word_count", "size(split(text, ' '))", false),      // new field: created
+      ("title", "upper(title)", true),                      // overwrite existing
+      ("text", "'extra'", false),                           // add → array(old, new)
+      ("text", "'extra2'", false)))))                       // add again → append
+    val r = chain(docs0).filter(col("url").contains("other")).collect().head
+    assert(r.getAs[Int]("word_count") == 3)
+    assert(r.getAs[String]("title") == "OTHER")
+    assert(r.getSeq[String](r.fieldIndex("text")).toList ==
+      List("plain words here", "extra", "extra2"))
+  }
+
   test("index-replace: scoped regex replacement, write-on-match, target field") {
     val filter = ReplaceFilter.parseConf(
       """hostmatch=\.co\.uk$
