@@ -177,6 +177,14 @@ case class CrawlConfig(
     // scores come exclusively from the WebGraph→LinkRank→ScoreUpdater
     // sequence (Crawl.updateScoresFromWebGraph). Generator sort stays
     // score-descending; the indexer boost is normalizedScore × db score.
+    // parsefilter-naivebayes (reference src/plugin/parsefilter-naivebayes
+    // NaiveBayesParseFilter): focused crawling — pages classified
+    // IRRELEVANT by a two-class NB model keep only the outlinks whose URL
+    // contains a focus-wordlist term. trainLines = `label \t text`
+    // (parsefilter.naivebayes.trainfile content, 0 = irrelevant); wordlist
+    // = parsefilter.naivebayes.wordlist content. Both empty = off.
+    naiveBayesTrainLines: Seq[String] = Nil,
+    naiveBayesWordlist: Seq[String] = Nil,
     scoringLink: Boolean = false,
     linkScoreUpdaterClearScore: Float = 0.0f,    // link.score.updater.clear.score
     linkAnalysisNormalizedScore: Double = 1.0,   // link.analyze.normalize.score

@@ -68,9 +68,32 @@ object Parse {
         array(pageKeys.map(k => struct(lit(k).as("key"), pageMetaValue(k).as("value"))): _*),
         e => e.getField("value").isNotNull))
 
+    // parsefilter-naivebayes (reference NaiveBayesParseFilter.filter:86-116):
+    // classify the page text once (UDF per PAGE, model in the closure);
+    // an irrelevant page's outlinks are pruned below to wordlist hits only
+    val nbOn = cfg.naiveBayesTrainLines.nonEmpty
+    val pageRelevantCol: Column =
+      if (!nbOn) lit(true)
+      else {
+        val model = NaiveBayes.train(cfg.naiveBayesTrainLines)
+        val classify = udf((t: String) => NaiveBayes.classifyRelevant(model, t))
+        classify(concat_ws(" ",
+          transform(filter(col("spans"), s => s.getField("kind") === "text"),
+            s => s.getField("text"))))
+      }
+
+    // wordlist URL check (NaiveBayesParseFilter.filterUrl/containsWord):
+    // a plain contains-chain — stays inside whole-stage codegen
+    def wordlistHit(c: Column): Column =
+      if (cfg.naiveBayesWordlist.isEmpty) lit(false)
+      else cfg.naiveBayesWordlist.map(w => c.contains(w)).reduce(_ || _)
+
     val exploded0 = pages.toDF()
       .filter(col("status").isin(CrawlStatus.FETCH_SUCCESS.toInt,
         CrawlStatus.FETCH_REDIR_PERM.toInt, CrawlStatus.FETCH_REDIR_TEMP.toInt))
+      // computed via withColumn so the slice filter below can prune an
+      // irrelevant page's outlinks (OPIC's 1/n then counts survivors only)
+      .withColumn("page_relevant", pageRelevantCol)
       .select(col("url").as("from_url"), col("host").as("from_host"),
         col("score"), col("fetch_time"), col("depth"),
         pageMetaCol.as("pagemeta"),
@@ -84,6 +107,12 @@ object Parse {
             // discovered. Redirect spans are exempt: a redirect is the same
             // document, not a hop.
             (lit(cfg.scoringDepthMax <= 0) || col("depth") < cfg.scoringDepthMax ||
+              s.getField("kind") === "redirect") &&
+            // parsefilter-naivebayes: an irrelevant page keeps only
+            // wordlist-matching outlinks (redirects are fetch outcomes,
+            // not parse outlinks — exempt)
+            (lit(!nbOn) || col("page_relevant") ||
+              wordlistHit(s.getField("media_ref")) ||
               s.getField("kind") === "redirect")),
           1, cfg.maxOutlinksPerPage).as("links"))
       .withColumn("n", greatest(size(col("links")), lit(1)))
