@@ -39,7 +39,7 @@ object Bench {
     "q_opic_distribute", "q_seen_antijoin", "q_dedup_keepbest",
     "q_state_transition", "q_events_window", "q_url_canonicalize",
     "q_registered_domain", "q_score_quantiles", "q_segment_merge", "q_mime_resolve",
-    "q_parse_html",
+    "q_parse_html", "q_adaptive_sort", "q_cc_reltag",
     "q_token_count", "q_text_quality", "q_lang_guess", "q_doc_fingerprint",
     "q_text_fingerprint64", "q_bpeish_tokens", "q_bpe_tokens", "q_dedup_exact", "q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs",
     "q_embed_pairs", "q_embed_topk", "q_ann_lsh_topk", "q_ann_ivf_topk", "q_media_meta", "q_media_decode")

@@ -185,6 +185,13 @@ case class CrawlConfig(
     // = parsefilter.naivebayes.wordlist content. Both empty = off.
     naiveBayesTrainLines: Seq[String] = Nil,
     naiveBayesWordlist: Seq[String] = Nil,
+    // urlfilter-ignoreexempt (reference src/plugin/urlfilter-ignoreexempt
+    // ExemptionUrlFilter): when db.ignore.external.links is on, outlink
+    // targets accepted by these regex rules (RegexURLFilter format:
+    // ordered ± rules, first match decides) are EXEMPT from the ignore and
+    // survive as discovered links anyway (e.g. follow CDN/static domains
+    // from an otherwise site-local crawl). Empty = no exemptions.
+    ignoreExternalExemptions: Seq[(Boolean, String)] = Nil,
     scoringLink: Boolean = false,
     linkScoreUpdaterClearScore: Float = 0.0f,    // link.score.updater.clear.score
     linkAnalysisNormalizedScore: Double = 1.0,   // link.analyze.normalize.score

@@ -154,8 +154,18 @@ object Parse {
         else col("to_host") === col("from_host"))
       // db.ignore.external.links: cross-host/domain targets dropped entirely;
       // redirect spans are exempt (the reference treats redirects as fetch
-      // outcomes, not discovered links)
-      .filter(lit(!cfg.ignoreExternalLinks) || col("internal") || col("l.kind") === "redirect")
+      // outcomes, not discovered links); urlfilter-ignoreexempt regex hits
+      // survive the ignore (UDF only when exemptions are configured — the
+      // default path stays codegen)
+      .transform { df =>
+        val base = lit(!cfg.ignoreExternalLinks) || col("internal") || col("l.kind") === "redirect"
+        if (cfg.ignoreExternalExemptions.isEmpty) df.filter(base)
+        else {
+          val exempt = graft.url.RegexUrlFilter(cfg.ignoreExternalExemptions)
+          val exemptUdf = udf((u: String) => exempt.accept(u))
+          df.filter(base || exemptUdf(col("to_url")))
+        }
+      }
     val exploded = exploded0
       .withColumn("child_score",
         // scoring-similarity: every target inherits the FULL page score
