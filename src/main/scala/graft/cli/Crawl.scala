@@ -124,6 +124,51 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
     store.commit("frontier", cleaned.toDF(), lastRound + 1)
   }
 
+  /** parsechecker / indexchecker analog (reference parse/ParserChecker.java,
+    * indexer/IndexingFiltersChecker.java): probe ONE url through the
+    * configured fetcher + mime-dispatched parser registry + indexing
+    * chain, bypassing the politeness queue (a single-URL debug probe, like
+    * the reference tools' direct protocol call). Returns a one-row
+    * DataFrame: fetch diagnostics (protocol code, content type,
+    * signature), parse diagnostics (title, n_spans, outlink targets), and
+    * the indexing-chain fields over the would-be index document. */
+  def checkUrl(
+      u: String,
+      chain: graft.index.IndexingFilterChain = graft.index.IndexingFilterChain(Nil)): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val url = graft.url.UrlFilters.canonicalizeAndFilter(u)
+    require(url != null, s"url rejected by normalize+filter: $u")
+    val resp = fetcher.fetch(url)
+    val doc: graft.schema.Doc =
+      if (resp.doc != null) resp.doc
+      else if (resp.content != null)
+        graft.schema.Doc(url,
+          graft.parse.DocParsers.parseSpans(resp.contentType, url, resp.content, cfg))
+      else graft.schema.Doc(url, Seq.empty)
+    val signer: graft.frontier.Signer =
+      if (cfg.signer == "md5") graft.frontier.Md5Signer
+      else graft.frontier.TextProfileSigner()
+    val textSpans = doc.spans.filter(_.kind == "text")
+    val outlinks = doc.spans.filter(s => s.kind == "link" || s.kind == "media")
+      .flatMap(s => Option(graft.url.UrlFilters.canonicalizeAndFilter(s.media_ref)))
+    val sigHex = Option(signer.signSpans(doc.spans))
+      .map(_.map(b => f"$b%02X").mkString).getOrElse("")
+    val row = spark.createDataFrame(Seq((
+      url,
+      resp.code,
+      resp.contentType,
+      graft.url.Mime.resolve(resp.contentType, url),
+      sigHex,
+      textSpans.headOption.map(_.text).orNull,
+      textSpans.map(_.text).mkString(" "),
+      doc.spans.size,
+      outlinks
+    ))).toDF("url", "protocol_status", "content_type", "mime", "signature",
+      "title", "text", "n_spans", "outlinks")
+    graft.functions.GraftFunctions.register(spark)
+    chain(row.withColumn("host", call_function("url_host", col("url"))))
+  }
+
   /** scoring-link's score refresh (reference bin/crawl's webgraph →
     * linkrank → scoreupdater sequence, scoring/webgraph/ScoreUpdater.java):
     * run LinkRank over the linkdb edges and install the node ranks as

@@ -43,6 +43,18 @@ class CrawlApiSpec extends AnyFunSuite with SparkSpecBase {
     assert(r1.getAs[Double]("pages_per_sec") > 0)
   }
 
+  test("checkUrl: parsechecker/indexchecker probe — fetch+parse+index one url") {
+    val seed = web.seedUrls.head
+    val r = crawl.checkUrl(seed,
+      graft.index.IndexingFilterChain(Seq(graft.index.BasicFieldsFilter()))).collect().head
+    assert(r.getAs[String]("protocol_status") == "SUCCESS")
+    assert(r.getAs[String]("mime") == "text/html")
+    assert(r.getAs[String]("signature").nonEmpty)
+    assert(r.getAs[Int]("n_spans") > 0)
+    assert(r.getSeq[String](r.fieldIndex("outlinks")).nonEmpty, "seed page has outlinks")
+    assert(r.getAs[String]("host") == graft.url.Urls.hostOf(seed), "index chain ran")
+  }
+
   test("point lookup resolves through canonicalization") {
     val seed = web.seedUrls.head
     val messy = seed.toUpperCase.replace("HTTP://", "HTTP://") + "#frag"
