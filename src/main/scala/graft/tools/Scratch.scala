@@ -1,13 +1,13 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Working verification driver (edited per change under test). Currently:
-  * round-5 batch — crawldb stats tools, FreeGenerator, FastUrlFilter,
-  * index-replace, parsefilter-regex — driven through the public API with
-  * plan audits (stats aggs must be single-shuffle partial aggregations;
-  * replace/flags must stay inside WholeStageCodegen). */
+  * round-5 plan audits — q_adaptive_sort must be a single
+  * WholeStageCodegen project over a pruned parquet scan (no UDF, no
+  * shuffle); the adaptive generator sort must keep the generate plan's
+  * shape (exchange → sort within partitions, sort key folded into the
+  * same codegen stage). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -16,54 +16,32 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val dir = "/root/testdata/sf0.01"
 
-    def codegen(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
-      val plan = df.queryExecution.executedPlan.toString
-      val nEx = plan.linesIterator.count(_.contains("Exchange"))
-      println(s"$what: exchanges=$nEx codegenSpans=" +
-        plan.linesIterator.count(_.contains("WholeStageCodegen")))
-    }
+    val dir = "/root/testdata/sf0.001"
+    println("===== q_adaptive_sort plan =====")
+    val q = graft.SparkEntry.queries("q_adaptive_sort")(spark, dir)
+    q.explain("formatted")
+    println("rows=" + q.count())
 
-    // --- stats tools over a real-shaped frontier: expect ONE exchange each
-    //     (partial_count map-side, final after one shuffle) ---
-    val completion = graft.queries.Relational.crawlCompletion(spark, dir)
-    codegen(completion, "crawlCompletionStats")
-    completion.explain("formatted")
-    println("completion rows: " + completion.count())
-
-    val pstats = graft.queries.Relational.protocolStatus(spark, dir)
-    codegen(pstats, "protocolStatusStats")
-    pstats.show(10, false)
-
-    // --- FreeGenerator: text lines → fetchlist; expect exchanges = 2
-    //     (distinct + host repartition), host-sticky output ---
-    val fg = graft.queries.Relational.freeGenerate(spark, dir)
-    codegen(fg, "freeGenerate")
-    println("freeGenerate rows: " + fg.count())
-
-    // --- index-replace + regex flags: zero exchanges, pure codegen ---
-    val rep = graft.queries.Relational.indexReplace(spark, dir)
-    codegen(rep, "indexReplace")
-    rep.show(3, false)
-    val flags = graft.queries.Relational.regexFlags(spark, dir)
-    codegen(flags, "regexFlags")
-    println("flag distribution:")
-    flags.groupBy("has_digit", "has_longword", "has_body").count().show(false)
-
-    // --- FastUrlFilter through a crawl config (extraUrlFilters seam) ---
-    val fast = graft.url.FastUrlFilter.parse(
-      "Domain fix.test\n  DenyPath ^/blocked\n")
-    val cfgF = graft.frontier.CrawlConfig(extraUrlFilters = Seq(fast))
-    val lines = Seq("http://a.fix.test/ok", "http://a.fix.test/blocked/x",
-      "http://b.other.test/blocked/x").toDS()
-    val tasks = graft.frontier.FrontierTools.freeGenerate(lines, cfgF, 1L).collect()
-    println("fast-filtered fetchlist: " + tasks.map(_.url).sorted.mkString(", "))
-    assert(tasks.map(_.url).toSet ==
-      Set("http://a.fix.test/ok", "http://b.other.test/blocked/x"))
-
+    println("===== adaptive generate plan =====")
+    import spark.implicits._
+    import graft.schema.{CrawlStatus, FrontierEntry}
+    val now = 1700000000000L
+    val f = (1 to 1000).map { i =>
+      val url = s"http://h${i % 20}.test/p$i"
+      val host = graft.url.Urls.hostOf(url)
+      FrontierEntry(url, graft.url.Urls.hash64(url), host,
+        graft.url.Urls.registeredDomainOf(host), CrawlStatus.DB_UNFETCHED,
+        now - (i % 30) * 86400000L, i % 3, 2592000, (i % 7) / 2.0f,
+        null, 0L, null, -1L, Map.empty)
+    }.toDS()
+    val cfg = graft.frontier.CrawlConfig(scoringAdaptive = true, topN = 100,
+      numFetchPartitions = 4,
+      adaptiveStatusSort = Map(CrawlStatus.DB_UNFETCHED.toInt -> 0.1))
+    val (tasks, _) = graft.generate.Generator.generate(f, cfg, now, 1)
+    tasks.explain("formatted")
+    println("tasks=" + tasks.count())
     spark.stop()
   }
 }
