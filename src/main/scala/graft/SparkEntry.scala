@@ -139,6 +139,9 @@ object SparkEntry {
     "q_crawl_completion" -> (Relational.crawlCompletion _),
     "q_protocol_status" -> (Relational.protocolStatus _),
     "q_free_generate" -> (Relational.freeGenerate _),
+    // --- language-identifier + index-geoip indexing filters ---
+    "q_lang_field" -> (Relational.langField _),
+    "q_geoip" -> (Relational.geoIp _),
     // --- the crawl engine end-to-end (rows-only; specs assert semantics) ---
     "q_crawl_round" -> ((s, _) => entry(s))
   )
@@ -580,6 +583,43 @@ object SparkEntry {
                 'example.com' AS domain,
                 CAST(1.0 AS DOUBLE) AS score
          FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 0""",
+    // LanguageIndexingFilter's precedence cascade: parse_meta lang (doc_id%5=0)
+    // ≻ Content-Language header (%5 ∈ 1,2) ≻ marker detector ≻ 'unknown'
+    "q_lang_field" ->
+      """WITH p AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents),
+              sc AS (SELECT doc_id,
+                (length(pt)-length(replace(pt,' the ','')))/5 + (length(pt)-length(replace(pt,' and ','')))/5 + (length(pt)-length(replace(pt,' of ','')))/4 AS en,
+                (length(pt)-length(replace(pt,' el ','')))/4 + (length(pt)-length(replace(pt,' la ','')))/4 + (length(pt)-length(replace(pt,' que ','')))/5 AS es,
+                (length(pt)-length(replace(pt,' der ','')))/5 + (length(pt)-length(replace(pt,' und ','')))/5 + (length(pt)-length(replace(pt,' die ','')))/5 AS de,
+                (length(pt)-length(replace(pt,' le ','')))/4 + (length(pt)-length(replace(pt,' et ','')))/4 + (length(pt)-length(replace(pt,' les ','')))/5 AS fr
+                FROM p),
+              det AS (SELECT doc_id,
+                CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+                     WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+                     WHEN de >= fr AND de > 0 THEN 'de'
+                     WHEN fr > 0 THEN 'fr'
+                     ELSE NULL END AS detected
+                FROM sc)
+         SELECT d.doc_id,
+                CASE WHEN d.doc_id % 5 = 0 THEN (['fi','sv','pl'])[CAST(d.doc_id % 3 AS INT) + 1]
+                     WHEN d.doc_id % 5 = 1 THEN 'pt'
+                     WHEN d.doc_id % 5 = 2 THEN 'nl'
+                     ELSE coalesce(det.detected, 'unknown') END AS lang_field
+         FROM documents d JOIN det USING (doc_id)""",
+    // the same disjoint range table inlined; LEFT JOIN ON BETWEEN is the
+    // oracle for the bucketized broadcast equi-join
+    "q_geoip" ->
+      """WITH r(start_ip, end_ip, country_code, city) AS (VALUES
+           (167772160, 168034303, 'AA', 'Alpha'),
+           (168132608, 168165375, 'BB', 'Beta'),
+           (168296192, 168296703, 'CC', 'Gamma'),
+           (168558592, 168558719, 'DD', 'Delta')),
+         d AS (SELECT doc_id,
+                 '10.' || CAST(doc_id % 14 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) AS ip,
+                 167772160 + (doc_id % 14) * 65536 + (doc_id * 7 % 256) * 256 + (doc_id % 250) AS ip_int
+               FROM documents)
+         SELECT d.doc_id, d.ip, r.country_code, r.city
+         FROM d LEFT JOIN r ON d.ip_int BETWEEN r.start_ip AND r.end_ip""",
     "q_crawl_round" ->
       """WITH pages(url, host, outcome) AS (VALUES
            ('http://host-000.fix.test/','host-000.fix.test','success'),

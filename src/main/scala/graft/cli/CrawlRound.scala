@@ -169,8 +169,13 @@ object CrawlRound {
     // job 2: write parsed (cached pages)
     val obsParse = Observation(s"parse_r$round")
     timed("parse+write") {
+      // parsefilter-debug: serialized parser interpretation riding in
+      // parse_meta["DOM"] (column-pure; off by default)
+      val parsedOut =
+        if (cfg.parseFilterDebug) graft.parse.ParseFilters.stampDom(Parse.parsedDocs(pages).toDF())
+        else Parse.parsedDocs(pages).toDF()
       store.commit("parsed",
-        Parse.parsedDocs(pages).toDF().observe(obsParse, count(lit(1)).as("parsed")), round,
+        parsedOut.observe(obsParse, count(lit(1)).as("parsed")), round,
         allowRewind = true)
     }
     val parsedCount = obsParse.get("parsed").asInstanceOf[Long]

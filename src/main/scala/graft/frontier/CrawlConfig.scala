@@ -195,6 +195,15 @@ case class CrawlConfig(
     scoringLink: Boolean = false,
     linkScoreUpdaterClearScore: Float = 0.0f,    // link.score.updater.clear.score
     linkAnalysisNormalizedScore: Double = 1.0,   // link.analyze.normalize.score
+    // parse-ext (reference src/plugin/parse-ext ExtParser.java): resolved
+    // mime → external command; overrides the built-in registry for that
+    // mime (≙ parser.order putting parse-ext first). Empty = no external
+    // parsing (default).
+    extParsers: Map[String, graft.parse.ExtParser.ExtCommand] = Map.empty,
+    // parsefilter-debug (reference src/plugin/parsefilter-debug
+    // DebugParseFilter.java:46-54): stamp the parser's serialized
+    // interpretation of each document into parse_meta["DOM"].
+    parseFilterDebug: Boolean = false,
     // seen
     useSeenBloom: Boolean = true,                // bloom-prefilter discovered URLs before the frontier join
     bloomExpectedItems: Long = 1L << 22,

@@ -253,6 +253,87 @@ case class ArbitraryFieldsFilter(fields: Seq[(String, String, Boolean)]) extends
     }
 }
 
+/** language-identifier plugin (reference src/plugin/language-identifier
+  * LanguageIndexingFilter.java:60-85): `lang` field with the reference's
+  * exact precedence — parse-time identification (parse_meta["lang"], which
+  * HTMLLanguageParser fills from html lang attr / meta Content-Language /
+  * its detector) ≻ the Content-Language response header ≻ "unknown" — plus
+  * the `lang.index.languages` whitelist, where a doc whose language is not
+  * listed is DROPPED (the reference returns null ⇒ document killed).
+  *
+  * `detectFromText` adds the marker-word detector over the text column as a
+  * final fallback before "unknown" — the stand-in for the reference's
+  * parse-time NGramProfile detection (which our parse path does not run),
+  * kept column-pure so the chain stays in whole-stage codegen. */
+case class LanguageFilter(
+    indexLangs: Set[String] = Set.empty,
+    detectFromText: Boolean = true) extends IndexingFilter {
+  override def name: String = "language-identifier"
+  override def apply(docs: DataFrame): DataFrame = {
+    val candidates: Seq[Column] = Seq(
+      if (IndexingFilter.hasCol(docs, "parse_meta"))
+        Some(element_at(col("parse_meta"), "lang")) else None,
+      if (IndexingFilter.hasCol(docs, "content_language"))
+        Some(col("content_language")) else None,
+      if (IndexingFilter.hasCol(docs, "lang")) Some(col("lang")) else None,
+      if (detectFromText && IndexingFilter.hasCol(docs, "text"))
+        // the detector's "und" means undetermined — fall through to unknown
+        Some(nullif(graft.ops.TextOps.langGuessCol(col("text")), lit("und"))) else None
+    ).flatten
+    val lang = coalesce((candidates :+ lit("unknown")): _*)
+    val stamped = docs.withColumn("lang", lang)
+    if (indexLangs.isEmpty) stamped
+    else stamped.filter(col("lang").isin(indexLangs.toSeq: _*))
+  }
+}
+
+/** index-geoip plugin (reference src/plugin/index-geoip
+  * GeoIPIndexingFilter.java + GeoIPDocumentCreator): location fields for a
+  * document's `ip` field, resolved against an IP-range table. The reference
+  * reads MaxMind's .mmdb per row; re-expressed distributively as a range
+  * table the user supplies as a DataFrame with (start_ip, end_ip: long,
+  * …attribute columns) — the scale-correct realization is a BUCKETIZED
+  * equi-join: each range is exploded across the /16 buckets it spans, docs
+  * join on their /16 bucket (plain hash join, broadcastable — a GeoIP table
+  * is a few hundred MB at most), then the start≤ip≤end residual predicate
+  * picks the covering range. No BroadcastNestedLoopJoin, no per-row mmdb
+  * lookups; ranges are assumed disjoint (IP allocations are). Docs without
+  * an `ip` column (store.ip.address off) pass through untouched, like the
+  * reference's addServerGeo with no ip field. */
+case class GeoIpFilter(ranges: DataFrame, ipCol: String = "ip") extends IndexingFilter {
+  override def name: String = "index-geoip"
+
+  /** Dotted-quad → unsigned 32-bit value as a long, pure column code. */
+  private def ipToLong(ip: Column): Column = {
+    val parts = split(ip, "\\.")
+    element_at(parts, 1).cast("long") * 16777216L +
+      element_at(parts, 2).cast("long") * 65536L +
+      element_at(parts, 3).cast("long") * 256L +
+      element_at(parts, 4).cast("long")
+  }
+
+  override def apply(docs: DataFrame): DataFrame = {
+    if (!IndexingFilter.hasCol(docs, ipCol)) return docs
+    val bucketed = ranges
+      .withColumn("_geo_rbucket",
+        explode(sequence((col("start_ip") / 65536L).cast("long"), (col("end_ip") / 65536L).cast("long"))))
+    val attrCols = ranges.columns.filterNot(c => c == "start_ip" || c == "end_ip")
+    val lhs = docs
+      .withColumn("_geo_ip_int", ipToLong(col(ipCol)))
+      .withColumn("_geo_bucket", (col("_geo_ip_int") / 65536L).cast("long"))
+    // equi-key on the bucket + residual range predicate INSIDE the left
+    // join: still a BroadcastHashJoin, and an uncovered IP keeps its row
+    // with null geo fields instead of being dropped
+    lhs
+      .join(broadcast(bucketed),
+        lhs("_geo_bucket") === bucketed("_geo_rbucket") &&
+          lhs("_geo_ip_int") >= bucketed("start_ip") &&
+          lhs("_geo_ip_int") <= bucketed("end_ip"),
+        "left")
+      .select((docs.columns.map(lhs(_)) ++ attrCols.map(bucketed(_))): _*)
+  }
+}
+
 /** index-jexl-filter: drop documents failing a configured predicate — the
   * JEXL expression surface re-based on Spark SQL (same documented API change
   * as the generator's expression filter). */

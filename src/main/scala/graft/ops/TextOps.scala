@@ -47,27 +47,32 @@ object TextOps {
     )
   }
 
-  /** Language-ID heuristic: marker-word scores, argmax with fixed priority.
-    * (A real n-gram model would not be oracle-mirrorable; the marker-count
-    * heuristic is the deterministic stand-in with identical SQL.) */
-  def langGuess(docs: DataFrame): DataFrame = {
-    val padded = concat(lit(" "), col("text"), lit(" "))
+  /** The marker-word argmax as a reusable column (language-identifier's
+    * detection stage re-expressed; also the q_lang_guess oracle formula). */
+  def langGuessCol(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
     def score(markers: Seq[String]): Column =
       markers.map(m => occPlain(padded, s" $m ")).reduce(_ + _)
     val en = score(Seq("the", "and", "of"))
     val es = score(Seq("el", "la", "que"))
     val de = score(Seq("der", "und", "die"))
     val fr = score(Seq("le", "et", "les"))
+    when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+  }
+
+  /** Language-ID heuristic: marker-word scores, argmax with fixed priority.
+    * (A real n-gram model would not be oracle-mirrorable; the marker-count
+    * heuristic is the deterministic stand-in with identical SQL.) */
+  def langGuess(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       col("lang").as("lang_labeled"),
-      when(en >= es && en >= de && en >= fr && en > 0, "en")
-        .when(es >= de && es >= fr && es > 0, "es")
-        .when(de >= fr && de > 0, "de")
-        .when(fr > 0, "fr")
-        .otherwise("und").as("lang_guess")
+      langGuessCol(col("text")).as("lang_guess")
     )
-  }
 
   /** BPE-ish token counting: alpha runs, digit runs, and single punctuation
     * marks each count as one token (the regex shape a byte-pair pre-tokenizer

@@ -226,7 +226,7 @@ object DocParsers {
   def parseSpans(contentType: String, url: String, content: Array[Byte],
                  cfg: CrawlConfig): Seq[Span] = {
     val mime = graft.url.Mime.resolveWithContent(contentType, url, content)
-    val parser = forMime(mime)
+    val parser = cfg.extParsers.get(mime).map(ExtDocParser(mime, _)).getOrElse(forMime(mime))
     val text =
       if (parser.needsText) Charsets.decode(contentType, content, cfg.parserCharsetDefault)
       else null
@@ -239,7 +239,7 @@ object DocParsers {
   def parseResult(contentType: String, url: String, content: Array[Byte],
                   cfg: CrawlConfig): Seq[SubDoc] = {
     val mime = graft.url.Mime.resolveWithContent(contentType, url, content)
-    forMime(mime) match {
+    cfg.extParsers.get(mime).map(ExtDocParser(mime, _)).getOrElse(forMime(mime)) match {
       case p: MultiDocParser =>
         val text =
           if (p.needsText) Charsets.decode(contentType, content, cfg.parserCharsetDefault)

@@ -38,6 +38,21 @@ object HtmlOps {
       body, lit("</body></html>"))
   }
 
+  /** HTMLLanguageParser's metadata-sourced language of a raw HTML column
+    * (reference src/plugin/language-identifier HTMLLanguageParser
+    * .getLanguageFromMetadata:186-198, precedence dc.language ≻ meta
+    * content-language ≻ html lang attribute; the Content-Language response
+    * header is the caller's next fallback, as in identifyLanguage:123-137).
+    * Pure regexp_extract columns — null when no markup declares a language. */
+  def htmlLang(html: Column): Column = {
+    def first(pattern: String): Column =
+      nullif(regexp_extract(html, pattern, 1), lit(""))
+    coalesce(
+      first("(?is)<meta[^>]*name\\s*=\\s*[\"']?dc\\.language[\"']?[^>]*content\\s*=\\s*[\"']?([A-Za-z][A-Za-z0-9-]*)"),
+      first("(?is)<meta[^>]*http-equiv\\s*=\\s*[\"']?content-language[\"']?[^>]*content\\s*=\\s*[\"']?([A-Za-z][A-Za-z0-9-]*)"),
+      first("(?is)<html[^>]*\\slang\\s*=\\s*[\"']?([A-Za-z][A-Za-z0-9-]*)"))
+  }
+
   /** q_meta_headings: parse-metatags + headings plugins over deterministic
     * generated pages — meta description/keywords (mixed-case name attribute
     * exercises the lowercasing) and h1/h2 headings (h1 appears twice →

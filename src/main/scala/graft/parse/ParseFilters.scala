@@ -47,6 +47,34 @@ object ParseFilters {
                   htmlCol: String = "html", textCol: String = "text"): DataFrame =
     rules.foldLeft(docs)((d, r) => d.withColumn(r.field, flag(docs, r, htmlCol, textCol)))
 
+  /** parsefilter-debug (reference src/plugin/parsefilter-debug
+    * DebugParseFilter.java:46-54): the reference serializes the parser's DOM
+    * into parse_meta["DOM"] so an operator can see how the parser
+    * interpreted a document. This engine's parser output IS the interleaved
+    * span sequence, so its serialization — one element per span, kind +
+    * order + payload — is the faithful analog, stamped into the same
+    * parse_meta["DOM"] slot. Pure column code (transform + array_join):
+    * debug stamping adds no UDF and no shuffle to the parsed write. */
+  def stampDom(docs: DataFrame, spansCol: String = "spans",
+               metaCol: String = "parse_meta"): DataFrame = {
+    if (!docs.columns.contains(spansCol)) return docs
+    val dom = concat(
+      lit("<doc>\n"),
+      array_join(
+        transform(col(spansCol), s =>
+          concat(lit("  <span kind=\""), s.getField("kind"),
+            lit("\" order=\""), s.getField("offset").cast("string"), lit("\">"),
+            coalesce(s.getField("text"), s.getField("media_ref"), lit("")),
+            lit("</span>"))),
+        "\n"),
+      lit("\n</doc>"))
+    val entry = map(lit("DOM"), dom)
+    val merged =
+      if (docs.columns.contains(metaCol)) map_concat(coalesce(col(metaCol), map()), entry)
+      else entry
+    docs.withColumn(metaCol, merged)
+  }
+
   /** Fold the flags into a `parse_meta` map column (created when absent) —
     * the reference's ParseData.parseMeta destination, from which
     * db.parsemeta.to.crawldb and index-metadata pick fields up. */

@@ -552,6 +552,53 @@ object Relational {
       col("subcollection"), col("site_tag"))
   }
 
+  /** language-identifier plugin: the full LanguageIndexingFilter precedence
+    * (parse_meta["lang"] ≻ Content-Language header ≻ detector ≻ "unknown")
+    * over synthesized per-doc evidence — doc_id arithmetic decides which
+    * stage carries the language, so the DuckDB oracle mirrors the whole
+    * cascade from first principles (detector = the q_lang_guess marker
+    * formula). */
+  def langField(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val withEvidence = documents(s, dir).select(
+      col("doc_id"),
+      col("text"),
+      // parse-time identification present for doc_id % 5 == 0
+      when(k % 5 === 0,
+        map(lit("lang"), element_at(array(lit("fi"), lit("sv"), lit("pl")), (k % 3 + 1).cast("int"))))
+        .otherwise(map().cast("map<string,string>")).as("parse_meta"),
+      // Content-Language header present for doc_id % 5 in (1, 2)
+      when(k % 5 === 1, lit("pt")).when(k % 5 === 2, lit("nl"))
+        .otherwise(lit(null).cast("string")).as("content_language"))
+    graft.index.LanguageFilter()(withEvidence)
+      .select(col("doc_id"), col("lang").as("lang_field"))
+  }
+
+  /** index-geoip: IP-range resolution as the scale-correct bucketized
+    * broadcast equi-join. IPs are pure doc_id arithmetic; the range table
+    * (below, also inlined in the oracle SQL) includes a range crossing a
+    * /16 boundary and leaves some IPs uncovered (null geo fields). */
+  val GeoRanges: Seq[(Long, Long, String, String)] = {
+    def ip(a: Long, b: Long, c: Long, d: Long) = a * 16777216L + b * 65536L + c * 256L + d
+    Seq(
+      (ip(10, 0, 0, 0), ip(10, 3, 255, 255), "AA", "Alpha"),     // spans 4 /16s
+      (ip(10, 5, 128, 0), ip(10, 5, 255, 255), "BB", "Beta"),    // half a /16
+      (ip(10, 7, 255, 0), ip(10, 8, 0, 255), "CC", "Gamma"),     // crosses a /16 edge
+      (ip(10, 12, 0, 0), ip(10, 12, 0, 127), "DD", "Delta"))     // tiny
+  }
+
+  def geoIp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = col("doc_id")
+    val docs = documents(s, dir).select(
+      col("doc_id"),
+      concat(lit("10."), (k % 14).cast("string"), lit("."),
+        (k * 7 % 256).cast("string"), lit("."), (k % 250).cast("string")).as("ip"))
+    val ranges = GeoRanges.toDF("start_ip", "end_ip", "country_code", "city")
+    graft.index.GeoIpFilter(ranges)(docs)
+      .select(col("doc_id"), col("ip"), col("country_code"), col("city"))
+  }
+
   /** §2.5 segment merge: latest row per key across segments (SegmentMerger
     * semantics) — one shuffle, partial-aggregated max_by, the exact plan
     * SegmentTools.mergeRounds uses. */
