@@ -306,8 +306,8 @@ object UpdateDbColumnar {
     val result = joined
       // drop: nothing at all, or link-only when additions are disallowed
       .filter(hasOld || hasFetch || (hasLink && lit(cfg.additionsAllowed)))
-      .filter(lit(cfg.purge404) === false || newStatus =!= DB_GONE)
-      .filter(lit(cfg.purgeOrphans) === false || orphanStatus =!= DB_ORPHAN)
+      .filter(if (cfg.purge404) newStatus =!= DB_GONE else lit(true))
+      .filter(if (cfg.purgeOrphans) orphanStatus =!= DB_ORPHAN else lit(true))
       .select(
         url.as("url"),
         coalesce(col("url_hash"), call_function("url_hash64", url)).as("url_hash"),

@@ -311,11 +311,15 @@ object UrlSeen {
     * destroyed, so the registry stays flat across rounds. */
   def mightContainCol(spark: SparkSession, seen: SeenSet, c: Column): Column = {
     val name = seen.probeName
-    registrations.put(name, spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        seen.probeExpr(es.head),
-      "built-in")
+    // idempotent per (name, session): re-probing an already-registered set
+    // must not re-register (the registry WARNs "replaced a previously
+    // registered function" on every replace)
+    if (registrations.put(name, spark) ne spark) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          seen.probeExpr(es.head),
+        "built-in")
+    }
     call_function(name, c)
   }
 
