@@ -129,7 +129,10 @@ object SparkEntry {
       graft.score.SimilarityScoring.goldModel(SimilarityGoldText))),
     // --- multimodal plumbing ---
     "q_media_meta" -> ((s, d) => MultimodalOps.mediaMeta(docs(s, d))),
-    "q_media_decode" -> ((s, d) => MultimodalOps.decodeBlobs(MultimodalOps.attachBlobs(docs(s, d))).toDF()),
+    // sniffHeaders=false pins the oracle contract to the deterministic fake
+    // kernel regardless of fixture bytes (the DuckDB mirror models only it)
+    "q_media_decode" -> ((s, d) => MultimodalOps.decodeBlobs(
+      MultimodalOps.attachBlobs(docs(s, d)), sniffHeaders = false).toDF()),
     // --- index-replace + parsefilter-regex plugins ---
     "q_index_replace" -> (Relational.indexReplace _),
     "q_regex_flags" -> (Relational.regexFlags _),

@@ -136,7 +136,8 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
       u: String,
       chain: graft.index.IndexingFilterChain = graft.index.IndexingFilterChain(Nil)): DataFrame = {
     import org.apache.spark.sql.functions._
-    val url = graft.url.UrlFilters.canonicalizeAndFilter(u)
+    val url = graft.url.UrlFilters.canonicalizeAndFilter(
+      u, cfg.extraUrlNormalizers, cfg.extraUrlFilters)
     require(url != null, s"url rejected by normalize+filter: $u")
     val resp = fetcher.fetch(url)
     val doc: graft.schema.Doc =
@@ -150,7 +151,8 @@ case class Crawl(spark: SparkSession, storeRoot: String, cfg: CrawlConfig, fetch
       else graft.frontier.TextProfileSigner()
     val textSpans = doc.spans.filter(_.kind == "text")
     val outlinks = doc.spans.filter(s => s.kind == "link" || s.kind == "media")
-      .flatMap(s => Option(graft.url.UrlFilters.canonicalizeAndFilter(s.media_ref)))
+      .flatMap(s => Option(graft.url.UrlFilters.canonicalizeAndFilter(
+        s.media_ref, cfg.extraUrlNormalizers, cfg.extraUrlFilters)))
     val sigHex = Option(signer.signSpans(doc.spans))
       .map(_.map(b => f"$b%02X").mkString).getOrElse("")
     val row = spark.createDataFrame(Seq((

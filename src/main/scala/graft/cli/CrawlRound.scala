@@ -75,11 +75,14 @@ object CrawlRound {
       spark: SparkSession,
       store: TableStore,
       fetcher: Fetcher,
-      cfg: CrawlConfig,
+      cfg0: CrawlConfig,
       round: Int,
       now: Long,
       dedupEachRound: Boolean = true
   ): RoundStats = {
+    // a span-serving fetcher can never explode one task into several fetched
+    // rows, so updatedb may keep its one-fetch-row-per-URL fast plan
+    val cfg = cfg0.copy(fetchMultiDoc = fetcher.multiDoc)
     import spark.implicits._
     import org.apache.spark.sql.Observation
     import org.apache.spark.storage.StorageLevel

@@ -22,6 +22,14 @@ case class ProtocolResponse(
 
 trait Fetcher extends Serializable {
   def fetch(url: String): ProtocolResponse
+
+  /** Whether this fetcher can return raw content bytes that the DocParser
+    * registry may explode into MULTIPLE fetched rows per task (ParseResult
+    * container semantics: zip members, feed entries). Updatedb uses this to
+    * decide whether the one-fetch-row-per-URL fast plan is safe. Fetchers
+    * that serve pre-parsed single documents (the synthetic span path)
+    * override to false. */
+  def multiDoc: Boolean = true
   /** Raw robots policy for a host (parsed robots.txt equivalent). */
   def robots(host: String): RobotsPolicy
 
@@ -43,6 +51,9 @@ trait Fetcher extends Serializable {
   * mime-dispatched HTML parser (differential fixture for the content path). */
 case class HtmlSyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher {
   private val inner = SyntheticFetcher(web, latencyMs)
+  // always text/html → the single-doc HTML parser; keeps the differential
+  // fixture on the same updatedb plan as the span-serving twin
+  override def multiDoc: Boolean = false
   override def fetch(url: String): ProtocolResponse = {
     val r = inner.fetch(url)
     if (r.code == "SUCCESS")
@@ -56,6 +67,8 @@ case class HtmlSyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetc
 
 case class SyntheticFetcher(web: SyntheticWeb, latencyMs: Long) extends Fetcher {
   import PageBehavior._
+  // serves pre-parsed spans (content = null) — never a multi-doc container
+  override def multiDoc: Boolean = false
   override def fetch(url: String): ProtocolResponse = web.behavior(url) match {
     case Ok               => ProtocolResponse("SUCCESS", null, web.render(url), "text/html", latencyMs)
     case NotFound         => ProtocolResponse("NOTFOUND", null, null, null, latencyMs)

@@ -52,10 +52,19 @@ case class FileFetcher(maxContentBytes: Int = 4 * 1024 * 1024) extends Fetcher {
         if (!url.endsWith("/"))
           ProtocolResponse("MOVED", url + "/", null, null, latency)
         else {
-          val entries = Files.list(path).toArray.map(_.asInstanceOf[Path]).sortBy(_.getFileName.toString)
+          val stream = Files.list(path) // must be closed — each leaks a directory fd
+          val entries =
+            try stream.toArray.map(_.asInstanceOf[Path]).sortBy(_.getFileName.toString)
+            finally stream.close()
           val links = entries.map { e =>
             val name = e.getFileName.toString + (if (Files.isDirectory(e)) "/" else "")
-            s"""<a href="$name">$name</a>"""
+            // href must be URL-escaped (spaces, quotes, &) or the listing
+            // parse resolves wrong/no outlinks; the text node HTML-escaped
+            // "./" guards names with a scheme-like first segment ("a:b")
+            val href = new java.net.URI(null, null,
+              if (name.contains(':')) "./" + name else name, null).getRawPath
+            val label = name.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            s"""<a href="$href">$label</a>"""
           }
           val body =
             s"""<html><head><title>Index of ${path}</title></head><body>

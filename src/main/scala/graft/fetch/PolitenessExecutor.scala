@@ -277,14 +277,30 @@ object PolitenessExecutor {
                     resp.contentType, signer.signSpans(spans), null, spans))
                   // sub-documents ride the pipeline as their own fetched rows
                   // (own URL, own signature; score 0 — OPIC cash stays with
-                  // the container, credits accrue via links like any page)
+                  // the container, credits accrue via links like any page).
+                  // EXTERNAL sub-docs (feed entries — real URLs that also
+                  // ride the link side) go through the same canonicalize+
+                  // filter chain as discovered links, or the fetch side and
+                  // link side emit two frontier keys for one page; synthetic
+                  // container-member URLs (zip) are kept verbatim — their
+                  // content is already fetched and they never appear as
+                  // links. host/domain come from the sub-doc's OWN url
+                  // (feed entries may live on another host).
                   docs.drop(1).foreach { sd =>
-                    val st = FetchTask(sd.url, Urls.hash64(sd.url), t.host,
-                      t.domain, CrawlStatus.DB_UNFETCHED, endTime, 0,
-                      cfg.fetchIntervalDefault, 0.0f, t.segment,
-                      depth = t.depth) // members live AT the container's depth
-                    pending.append(result(st, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
-                      sd.contentType, signer.signSpans(sd.spans), null, sd.spans))
+                    val su =
+                      if (sd.external) graft.url.UrlFilters.canonicalizeAndFilter(sd.url)
+                      else sd.url
+                    if (su != null) {
+                      val sh = Urls.hostOf(su)
+                      val st = FetchTask(su, Urls.hash64(su),
+                        if (sh != null) sh else t.host,
+                        if (sh != null) Urls.registeredDomainOf(sh) else t.domain,
+                        CrawlStatus.DB_UNFETCHED, endTime, 0,
+                        cfg.fetchIntervalDefault, 0.0f, t.segment,
+                        depth = t.depth) // members live AT the container's depth
+                      pending.append(result(st, CrawlStatus.FETCH_SUCCESS, "SUCCESS", endTime,
+                        sd.contentType, signer.signSpans(sd.spans), null, sd.spans))
+                    }
                   }
                   // in-task outlink follow (fetcher.follow.outlinks.depth,
                   // reference Fetcher.java outlink queuing): the page's first

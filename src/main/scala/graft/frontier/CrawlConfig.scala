@@ -71,6 +71,12 @@ case class CrawlConfig(
     followOutlinksDepth: Int = 0,                // fetcher.follow.outlinks.depth (0 = off, the reference default;
                                                  // >0 = fetch discovered outlinks in-task up to N levels deep)
     followOutlinksNumLinks: Int = 8,             // fetcher.follow.outlinks.num.links (per page)
+    fetchMultiDoc: Boolean = true,               // fetcher can emit raw content that parses into
+                                                 // multiple fetched rows per task (ParseResult
+                                                 // containers: zip/feed). CrawlRound derives this
+                                                 // from Fetcher.multiDoc; when false, updatedb may
+                                                 // assume one fetch row per URL and skip the
+                                                 // fetch-side dedup/anti-join (synthetic bench path)
     followOutlinksIgnoreExternal: Boolean = true,// fetcher.follow.outlinks.ignore.external
     maxExceptionsPerQueue: Int = 10,             // fetcher.max.exceptions.per.queue
     exceptionBackoffMaxMs: Long = 300000,        // cap for the per-queue exponential exception backoff

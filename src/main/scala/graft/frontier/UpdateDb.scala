@@ -227,7 +227,7 @@ object UpdateDb {
           val seenSide = linked0.filter(u => isSeen(u))
           val newCand = linked0.filter(u => !isSeen(u))
           val (newRows, backToJoin) =
-            if (cfg.redirectMax > 0 || cfg.followOutlinksDepth > 0) {
+            if (cfg.redirectMax > 0 || cfg.followOutlinksDepth > 0 || cfg.fetchMultiDoc) {
               val fUrls = fetched.toDF().select(org.apache.spark.sql.functions.col("url"))
               (newCand.toDF().join(fUrls, Seq("url"), "left_anti").as[FrontierUpdate],
                newCand.toDF().join(fUrls, Seq("url"), "left_semi").as[FrontierUpdate])

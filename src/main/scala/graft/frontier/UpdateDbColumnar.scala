@@ -40,10 +40,13 @@ object UpdateDbColumnar {
     // directly (identical expressions to the join's no-match branch). The
     // maybe-seen slice (bloom hit, fpp-bounded) rides the exact join as
     // before, so a false positive only costs a join probe, never a wrong row.
-    // With in-task redirect following (redirectMax > 0) a brand-new URL can
+    // With in-task redirect following (redirectMax > 0), in-task outlink
+    // follow, or a multi-doc fetcher (ParseResult containers emit sub-doc
+    // fetch rows for URLs no frontier row has seen) a brand-new URL can
     // ALSO appear on the fetch side; those must co-group with their fetch
     // row, so they are routed back to the join via an anti-join against the
-    // (update-sized) fetch set — skipped entirely in the default config.
+    // (update-sized) fetch set — skipped entirely on the span-serving
+    // synthetic path where one task is provably one fetch row.
     val (linked, directNew): (Dataset[FrontierUpdate], Option[org.apache.spark.sql.DataFrame]) =
       seen match {
         case Some(sf) if cfg.additionsAllowed =>
@@ -55,7 +58,7 @@ object UpdateDbColumnar {
           val seenSide = withHash.filter(mightContain)
           val newCand = withHash.filter(!mightContain)
           val (newRows, backToJoin) =
-            if (cfg.redirectMax > 0 || cfg.followOutlinksDepth > 0) {
+            if (cfg.redirectMax > 0 || cfg.followOutlinksDepth > 0 || cfg.fetchMultiDoc) {
               val fUrls = fetched.toDF().select(col("url"))
               (newCand.join(fUrls, Seq("url"), "left_anti"),
                newCand.join(fUrls, Seq("url"), "left_semi"))
@@ -103,12 +106,12 @@ object UpdateDbColumnar {
       col("fetch_time").as("f_time"), col("signature").as("f_sig"),
       col("repr_url").as("f_repr"), col("metadata").as("f_meta")) ++
       (if (simOn) Seq(col("score").as("f_score")) else Nil): _*)
-    // the join assumes ONE fetch row per URL; with in-task redirect OR
-    // outlink follow the same URL can be fetched twice (two partitions
-    // follow to one target, or a followed target was also generated) —
-    // dedup latest-wins with the same deterministic (time, status, score)
-    // order as the typed merge
-    val f = if (cfg.redirectMax <= 0 && cfg.followOutlinksDepth <= 0) f0
+    // the join assumes ONE fetch row per URL; with in-task redirect, outlink
+    // follow, OR a multi-doc fetcher the same URL can be fetched twice (two
+    // partitions follow to one target, a followed target was also generated,
+    // or two containers list the same sub-document) — dedup latest-wins with
+    // the same deterministic (time, status, score) order as the typed merge
+    val f = if (cfg.redirectMax <= 0 && cfg.followOutlinksDepth <= 0 && !cfg.fetchMultiDoc) f0
       else {
         val f0s = fetched.toDF().select(
           col("url").as("f_url"), col("status").as("f_status"),
@@ -337,13 +340,8 @@ object UpdateDbColumnar {
   private def emptyMeta: Column =
     map_from_arrays(array().cast("array<string>"), array().cast("array<string>"))
 
-  /** map union where the right side wins on key conflict — duplicate keys
-    * are removed BEFORE map_from_entries (whose default dedup policy throws). */
-  private def map_concat_safe(a: Column, b: Column): Column = {
-    val aa = coalesce(a, emptyMeta)
-    val bb = coalesce(b, emptyMeta)
-    map_from_entries(concat(
-      filter(map_entries(aa), e => !map_contains_key(bb, e.getField("key"))),
-      map_entries(bb)))
-  }
+  /** map union where the right side wins on key conflict — the shared
+    * last-put-wins merge (single definition in GraftFunctions). */
+  private def map_concat_safe(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.map_concat_last_wins(a, b)
 }

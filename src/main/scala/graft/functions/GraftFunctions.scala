@@ -50,4 +50,19 @@ object GraftFunctions {
   def url_hash64(c: Column): Column = call_function("url_hash64", c)
   def url_hash_interleave(c: Column): Column = call_function("url_hash_interleave", c)
   def url_accept(c: Column): Column = call_function("url_accept", c)
+
+  /** Map union where the RIGHT side wins on key conflict and nulls read as
+    * empty maps — duplicate keys are removed BEFORE map_from_entries (whose
+    * default dedup policy throws). The single shared definition of the
+    * reference's last-put-wins metadata merge (used by updatedb and the
+    * outlink metadata relay — keep ONE semantics). */
+  def map_concat_last_wins(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val empty = map_from_arrays(array().cast("array<string>"), array().cast("array<string>"))
+    val aa = coalesce(a, empty)
+    val bb = coalesce(b, empty)
+    map_from_entries(concat(
+      filter(map_entries(aa), e => !map_contains_key(bb, e.getField("key"))),
+      map_entries(bb)))
+  }
 }

@@ -46,21 +46,29 @@ object DedupOps {
     * optional callback. maxDfFraction >= 1.0 disables the cut (df can never
     * exceed nDocs), skipping the extra df pass entirely. The hot set is by
     * construction tiny (high df ⇒ few distinct terms), hence broadcast. */
-  private def dfCut(items: DataFrame, nDocs: Long, keyCol: String,
+  private def dfCut(items: DataFrame, nDocs: => Long, keyCol: String,
                     maxDfFraction: Double,
                     onDropped: Long => Unit): DataFrame = {
-    if (maxDfFraction >= 1.0) return items
+    if (maxDfFraction >= 1.0) return items // nDocs (a count job) never evaluated
     val spark = items.sparkSession
     val maxDf = maxDfFraction * nDocs
-    val hot = items.groupBy(keyCol).agg(count(lit(1)).as("df"))
+    // the hot set is mathematically bounded tiny: Σ df = total distinct
+    // (doc, term) occurrences, so at most avgTermsPerDoc / maxDfFraction
+    // terms can exceed the cut — collect to the driver (same discipline as
+    // HostDb.hotHostSalt) instead of persisting a second dataset
+    val hotKeys = items.groupBy(keyCol).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(keyCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = hot.count()
-    val acc = spark.sparkContext.longAccumulator(s"dedup_df_cut_dropped_$keyCol")
-    acc.add(dropped)
+      .collect().map(_.getString(0))
+    val dropped = hotKeys.length.toLong
+    spark.sparkContext.longAccumulator(s"dedup_df_cut_dropped_$keyCol").add(dropped)
     onDropped(dropped)
-    items.join(broadcast(hot), Seq(keyCol), "left_anti")
+    if (dropped == 0L) items
+    else {
+      import spark.implicits._
+      val hot = spark.createDataset(hotKeys.toSeq).toDF(keyCol)
+      items.join(broadcast(hot), Seq(keyCol), "left_anti")
+    }
   }
 
   /** Exact unigram-Jaccard pairs ≥ threshold (a < b). Inverted-index join:

@@ -50,8 +50,11 @@ object MultimodalOps {
       }
       return Some(("jpeg", 0, 0)) // JPEG magic but no SOF in the prefix
     }
-    // GIF: logical screen descriptor, LE at 6/8
-    if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+    // GIF: full 6-byte signature GIF87a/GIF89a (the 3-byte prefix alone
+    // would false-fire on plain text starting with "GIF"), then the
+    // logical screen descriptor, LE at 6/8
+    if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       return Some(("gif", le16(6), le16(8)))
     // WebP: RIFF....WEBP + VP8 /VP8L/VP8X chunk
     if (b.length >= 30 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
@@ -75,11 +78,12 @@ object MultimodalOps {
   /** Decode kernel: REAL header geometry when the bytes are a known image
     * container; otherwise the deterministic fake (pure function of the
     * bytes — fixture blobs are text and keep their mirrorable oracle). */
-  private def decodeOne(docId: Long, blob: Array[Byte]): MediaMeta = {
+  private def decodeOne(docId: Long, blob: Array[Byte],
+                        sniffHeaders: Boolean): MediaMeta = {
     var sum = 0L
     var i = 0
     while (i < blob.length) { sum = sum * 31 + (blob(i) & 0xff); i += 1 }
-    decodeHeader(blob) match {
+    (if (sniffHeaders) decodeHeader(blob) else None) match {
       case Some((fmt, w, h)) => MediaMeta(docId, blob.length, fmt, w, h, sum)
       case None =>
         // deterministic fake: geometry from byte statistics (non-image bytes)
@@ -98,12 +102,12 @@ object MultimodalOps {
   /** Batch decode: partition-local, no shuffle, typed output. The batch
     * shape (iterator-of-rows per partition) is what a vectorized decoder
     * needs; swap `decodeOne` for the real kernel. */
-  def decodeBlobs(blobs: DataFrame): Dataset[MediaMeta] = {
+  def decodeBlobs(blobs: DataFrame, sniffHeaders: Boolean = true): Dataset[MediaMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) => decodeOne(id, b) })
+      .mapPartitions(_.map { case (id, b) => decodeOne(id, b, sniffHeaders) })
   }
 
   /** Oracle-mirrorable metadata projection (pure SQL arithmetic over the

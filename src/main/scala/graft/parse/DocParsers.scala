@@ -123,7 +123,14 @@ object BinaryDocParser extends DocParser {
   * parse/ParseResult.java multi-entry semantics (ParseResult.java:41-116):
   * one fetched container can emit several (url, parse) outputs, each of
   * which flows through the parsed segment and updatedb as its own row. */
-final case class SubDoc(url: String, contentType: String, spans: Seq[Span])
+final case class SubDoc(url: String, contentType: String, spans: Seq[Span],
+                        external: Boolean = false)
+// `external`: the sub-doc's URL is a REAL independently-linkable URL (feed
+// entry) that may also appear on the discovered-link side — the executor
+// must push it through the same canonicalize+filter chain as links or the
+// two sides produce different frontier keys for one page. false = synthetic
+// container-member URL (zip): already-fetched content, never on the link
+// side, kept verbatim.
 
 /** application/zip → container manifest + one sub-document per member
   * (reference src/plugin/parse-zip ZipTextExtractor.java:63-110: member

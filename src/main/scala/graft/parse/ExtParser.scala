@@ -72,10 +72,18 @@ object ExtParser {
       }, "graft-ext-parser-stdout")
       pump.setDaemon(true)
       pump.start()
-      try {
-        proc.getOutputStream.write(content)
-        proc.getOutputStream.close()
-      } catch { case _: java.io.IOException => () } // command may exit without reading stdin
+      // stdin is pumped on its own thread too: a child that never drains
+      // stdin would otherwise block the calling fetch thread once the OS
+      // pipe buffer fills, putting the write BEFORE waitFor and defeating
+      // the timeout (CommandRunner.java pumps stdin for the same reason)
+      val push = new Thread(() => {
+        try {
+          proc.getOutputStream.write(content)
+          proc.getOutputStream.close()
+        } catch { case _: Exception => () } // command may exit without reading stdin
+      }, "graft-ext-parser-stdin")
+      push.setDaemon(true)
+      push.start()
       val finished = proc.waitFor(cmd.timeoutSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
       if (!finished) {
         proc.destroyForcibly()

@@ -91,7 +91,8 @@ object FeedDocParser extends MultiDocParser {
       if (t.isEmpty && links.isEmpty) Seq(Span("text", "", null, 0)) else t ++ links
     }
     val subs = es.collect { case (link, entryText) if entryText.nonEmpty =>
-      SubDoc(link, "text/plain", Seq(Span("text", entryText, null, 0)))
+      // entry URLs are real pages that also ride the link side — external
+      SubDoc(link, "text/plain", Seq(Span("text", entryText, null, 0)), external = true)
     }
     SubDoc(url, "application/rss+xml", head) +: subs
   }

@@ -210,14 +210,8 @@ object Parse {
     // against the tagged-parents subset) unioned with page-sourced values
     // (inline — page wins on a key collision, like the reference's
     // last-put-wins in parseData)
-    def mapConcatSafe(a: Column, b: Column): Column = {
-      val empty = map_from_arrays(array().cast("array<string>"), array().cast("array<string>"))
-      val aa = coalesce(a, empty)
-      val bb = coalesce(b, empty)
-      map_from_entries(concat(
-        filter(map_entries(aa), e => !map_contains_key(bb, e.getField("key"))),
-        map_entries(bb)))
-    }
+    def mapConcatSafe(a: Column, b: Column): Column =
+      graft.functions.GraftFunctions.map_concat_last_wins(a, b)
     val explodedT = (frontierTagsOn, pageTagsOn) match {
       case (true, false) => exploded.join(
         parentMeta.get.select(col("from_url"), col("urlmeta")), Seq("from_url"), "left")

@@ -235,8 +235,13 @@ object FastUrlFilter {
         (if (h >= 0) raw.substring(0, h) else raw).trim
       }
       if (line.nonEmpty) {
-        if (line.startsWith("Host")) { isHost = true; current = line.split("\\s+")(1) }
-        else if (line.startsWith("Domain")) { isHost = false; current = line.split("\\s+")(1) }
+        // a bare "Host"/"Domain" scope line (no name) is malformed — skip it
+        // like the reference skips unparseable lines, rather than aborting
+        if (line.startsWith("Host")) {
+          isHost = true; current = line.split("\\s+").lift(1).orNull
+        } else if (line.startsWith("Domain")) {
+          isHost = false; current = line.split("\\s+").lift(1).orNull
+        }
         else if (current != null) {
           val rule: Option[Rule] =
             try {
@@ -326,5 +331,18 @@ object UrlFilters {
   def normalizeAndFilter(raw: String, chain: UrlNormalizerChain): String = {
     val c = chain.normalize(raw)
     if (c != null && accept(c)) c else null
+  }
+
+  /** The FULL configured chain — default canonicalize+filter plus any extra
+    * normalizer/filter plugins — as applied to seeds and discovered links.
+    * Debug probes (Crawl.checkUrl) must use this form or they diverge from
+    * what the crawl actually does with a URL. */
+  def canonicalizeAndFilter(raw: String,
+                            extraNormalizers: Seq[UrlNormalizer],
+                            extraFilters: Seq[UrlFilter]): String = {
+    val c =
+      if (extraNormalizers.isEmpty) canonicalizeAndFilter(raw)
+      else normalizeAndFilter(raw, UrlNormalizerChain(extraNormalizers))
+    if (c != null && extraFilters.forall(_.accept(c))) c else null
   }
 }
