@@ -70,7 +70,10 @@ object ParseFilters {
       lit("\n</doc>"))
     val entry = map(lit("DOM"), dom)
     val merged =
-      if (docs.columns.contains(metaCol)) map_concat(coalesce(col(metaCol), map()), entry)
+      // last-put-wins merge: a pre-existing "DOM" key must not throw under
+      // Spark's default EXCEPTION map-key dedup policy (re-stamp replaces)
+      if (docs.columns.contains(metaCol))
+        graft.functions.GraftFunctions.map_concat_last_wins(col(metaCol), entry)
       else entry
     docs.withColumn(metaCol, merged)
   }
@@ -84,7 +87,10 @@ object ParseFilters {
     if (rules.isEmpty) return docs
     val flags = map(rules.flatMap(r => Seq(lit(r.field), flag(docs, r, htmlCol, textCol))): _*)
     val merged =
-      if (docs.columns.contains(metaCol)) map_concat(coalesce(col(metaCol), map()), flags)
+      // last-put-wins: a flag name colliding with an existing parse_meta key
+      // replaces it instead of throwing (default map-key dedup = EXCEPTION)
+      if (docs.columns.contains(metaCol))
+        graft.functions.GraftFunctions.map_concat_last_wins(col(metaCol), flags)
       else flags
     docs.withColumn(metaCol, merged)
   }

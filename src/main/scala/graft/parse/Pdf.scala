@@ -126,6 +126,9 @@ object Pdf {
                   v = v * 8 + (cs.charAt(k) - '0'); k += 1
                 }
                 s += v.toChar; i = k - 2
+              case '\r' => // \<EOL> = line continuation: elide (PDF 7.3.4.2)
+                if (i + 2 < cs.length && cs.charAt(i + 2) == '\n') i += 1
+              case '\n' => ()
               case o => s += o
             }
             i += 2

@@ -110,6 +110,11 @@ class LangGeoDebugSpec extends AnyFunSuite with SparkSpecBase {
     val m = ParseFilters.stampDom(withMeta)
       .select(col("parse_meta")).as[Map[String, String]].collect().head
     assert(m("k") == "v" && m.contains("DOM"))
+    // re-stamping replaces the DOM entry instead of throwing on the
+    // duplicate key (default map-key dedup policy is EXCEPTION)
+    val twice = ParseFilters.stampDom(ParseFilters.stampDom(withMeta))
+      .select(col("parse_meta")).as[Map[String, String]].collect().head
+    assert(twice("k") == "v" && twice("DOM") == m("DOM"))
   }
 
   test("crawl round stamps DOM into the parsed snapshot when parseFilterDebug is on") {

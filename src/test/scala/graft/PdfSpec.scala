@@ -52,6 +52,12 @@ class PdfSpec extends AnyFunSuite {
     assert(text.contains("HELLO"), s"hex strings decode: $text")
   }
 
+  test("backslash-EOL line continuation inside a literal string is elided") {
+    val ops = "BT (conti\\\nnued and \\\r\nagain) Tj ET"
+    val text = Pdf.extractText(pdf(ops, flate = false))
+    assert(text.contains("continued and again"), s"line continuations elide: $text")
+  }
+
   test("strings OUTSIDE BT/ET are ignored; corrupt bytes never throw") {
     val ops = "(not shown) Tj BT (shown) Tj ET (also hidden) Tj"
     val text = Pdf.extractText(pdf(ops, flate = false))
