@@ -3,11 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Working verification driver (edited per change under test). Currently:
-  * round-5 plan audits — q_adaptive_sort must be a single
-  * WholeStageCodegen project over a pruned parquet scan (no UDF, no
-  * shuffle); the adaptive generator sort must keep the generate plan's
-  * shape (exchange → sort within partitions, sort key folded into the
-  * same codegen stage). */
+  * drive the user-rule regex normalizer + pass normalizer through the
+  * public chain surface — a crawl round whose config carries
+  * extraUrlNormalizers must produce frontier keys with the rules applied
+  * on BOTH the seed and the discovered-link paths. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -17,31 +16,46 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
-
-    val dir = "/root/testdata/sf0.001"
-    println("===== q_adaptive_sort plan =====")
-    val q = graft.SparkEntry.queries("q_adaptive_sort")(spark, dir)
-    q.explain("formatted")
-    println("rows=" + q.count())
-
-    println("===== adaptive generate plan =====")
     import spark.implicits._
-    import graft.schema.{CrawlStatus, FrontierEntry}
-    val now = 1700000000000L
-    val f = (1 to 1000).map { i =>
-      val url = s"http://h${i % 20}.test/p$i"
-      val host = graft.url.Urls.hostOf(url)
-      FrontierEntry(url, graft.url.Urls.hash64(url), host,
-        graft.url.Urls.registeredDomainOf(host), CrawlStatus.DB_UNFETCHED,
-        now - (i % 30) * 86400000L, i % 3, 2592000, (i % 7) / 2.0f,
-        null, 0L, null, -1L, Map.empty)
-    }.toDS()
-    val cfg = graft.frontier.CrawlConfig(scoringAdaptive = true, topN = 100,
-      numFetchPartitions = 4,
-      adaptiveStatusSort = Map(CrawlStatus.DB_UNFETCHED.toInt -> 0.1))
-    val (tasks, _) = graft.generate.Generator.generate(f, cfg, now, 1)
-    tasks.explain("formatted")
-    println("tasks=" + tasks.count())
+
+    val rules = graft.url.RegexRuleNormalizer.parseXml(
+      """<?xml version="1.0"?>
+        |<regex-normalize>
+        |  <regex><pattern>(?i)[?&amp;]sid=[0-9a-f]+</pattern><substitution></substitution></regex>
+        |</regex-normalize>""".stripMargin)
+    val chain = Seq(rules, graft.url.PassNormalizer)
+
+    // seed + linked web where every page links with a session id attached
+    val base = "http://norm.fix.test/"
+    import graft.fetch.{Fetcher, ProtocolResponse}
+    import graft.fixtures.RobotsPolicy
+    import graft.schema.{Doc, Span}
+    case class LinkWeb(links: Map[String, Seq[String]]) extends Fetcher {
+      override def fetch(url: String): ProtocolResponse = {
+        val targets = links.getOrElse(url, Seq.empty)
+        val spans = Span("text", s"page at $url", null, 0) +:
+          targets.zipWithIndex.map { case (t, i) => Span("link", s"l$i", t, i + 1) }
+        ProtocolResponse("SUCCESS", null, Doc(url, spans), "text/html", 1)
+      }
+      override def robots(host: String): RobotsPolicy = RobotsPolicy.AllowAll
+    }
+    val web = LinkWeb(Map(
+      base -> Seq(base + "a?sid=99ff", base + "b?x=1&sid=0abc"),
+      base + "a" -> Seq(base + "b?x=1&sid=dead"),
+      base + "b?x=1" -> Nil))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    val cfg = graft.frontier.CrawlConfig(serverDelayMs = 0, fetchLatencyMs = 0,
+      signer = "md5", extraUrlNormalizers = chain)
+    val crawl = graft.cli.Crawl(spark, tmp, cfg, web)
+    crawl.inject(Seq(base + "?sid=f00d").toDS())
+    crawl.round(); crawl.round()
+    val urls = crawl.frontier.select("url").as[String].collect().sorted
+    println("frontier:")
+    urls.foreach(u => println("  " + u))
+    assert(urls.contains(base) && urls.contains(base + "a") && urls.contains(base + "b?x=1"),
+      "session-id stripped on seed AND link paths")
+    assert(!urls.exists(_.contains("sid=")), "no sid= key survives the chain")
+    println("OK: regex-rule normalizer applied on seed + link paths, " + urls.length + " frontier rows")
     spark.stop()
   }
 }

@@ -128,6 +128,81 @@ final case class SlashNormalizer(rules: Map[String, Boolean]) extends UrlNormali
   }
 }
 
+/** urlnormalizer-pass (reference src/plugin/urlnormalizer-pass
+  * PassURLNormalizer.java): the identity normalizer — the chain's no-op
+  * element, kept so a configuration slot can be explicitly disabled. */
+case object PassNormalizer extends UrlNormalizer {
+  override def name: String = "pass"
+  override def normalize(url: String): String = url
+}
+
+/** urlnormalizer-regex with USER rules (reference src/plugin/
+  * urlnormalizer-regex RegexURLNormalizer.regexNormalize:171-207 — the
+  * built-in session-id/`?&`-tidy defaults already live in
+  * Urls.normalizeQuery): ordered (pattern, substitution) rules, each
+  * applied globally (`Matcher.replaceAll`) to the previous rule's output.
+  * Substitutions support `$n` group references like the reference's. */
+final case class RegexRuleNormalizer(rules: Seq[(String, String)]) extends UrlNormalizer {
+  override def name: String = "regex"
+  @transient private lazy val compiled =
+    rules.flatMap { case (p, s) =>
+      // invalid patterns are skipped like readConfigurationFile:262-268
+      try Some((java.util.regex.Pattern.compile(p), s))
+      catch { case _: java.util.regex.PatternSyntaxException => None }
+    }
+  override def normalize(url: String): String = {
+    if (url == null) return null
+    var u = url
+    compiled.foreach { case (p, s) => u = p.matcher(u).replaceAll(s) }
+    u
+  }
+}
+
+object RegexRuleNormalizer {
+  /** Parse the reference's `regex-normalize.xml` format
+    * (`<regex-normalize><regex><pattern>…<substitution>…`): rules in file
+    * order; a missing/empty substitution element means "" (delete the
+    * match); regexes with a missing pattern are dropped, malformed XML
+    * yields the empty rule set — all per readConfigurationFile:230-280. */
+  def parseXml(text: String): RegexRuleNormalizer = {
+    try {
+      val builder = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+      // malformed XML → exception via the catch below, no stderr spam (the
+      // JDK default handler prints "[Fatal Error]" before throwing)
+      builder.setErrorHandler(new org.xml.sax.helpers.DefaultHandler())
+      val doc = builder.parse(new org.xml.sax.InputSource(new java.io.StringReader(text)))
+      val regexes = doc.getDocumentElement.getChildNodes
+      val rules = Seq.newBuilder[(String, String)]
+      var i = 0
+      while (i < regexes.getLength) {
+        regexes.item(i) match {
+          case e: org.w3c.dom.Element if e.getTagName == "regex" =>
+            var pattern: String = null
+            var sub: String = ""
+            val fields = e.getChildNodes
+            var j = 0
+            while (j < fields.getLength) {
+              fields.item(j) match {
+                case f: org.w3c.dom.Element =>
+                  if (f.getTagName == "pattern" && f.hasChildNodes)
+                    pattern = f.getFirstChild.getNodeValue
+                  else if (f.getTagName == "substitution" && f.hasChildNodes)
+                    sub = f.getFirstChild.getNodeValue
+                case _ =>
+              }
+              j += 1
+            }
+            if (pattern != null) rules += ((pattern, sub))
+          case _ =>
+        }
+        i += 1
+      }
+      RegexRuleNormalizer(rules.result())
+    } catch { case scala.util.control.NonFatal(_) => RegexRuleNormalizer(Nil) }
+  }
+}
+
 /** Ordered chain over the canonical form: ajax (raw) → Urls.canonicalize →
   * remaining normalizers in configured order. Null at any stage ⇒ null. */
 final case class UrlNormalizerChain(normalizers: Seq[UrlNormalizer]) {

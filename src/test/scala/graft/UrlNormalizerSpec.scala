@@ -49,6 +49,40 @@ class UrlNormalizerSpec extends AnyFunSuite {
     assert(n.normalize("http://other.test/dir/") == "http://other.test/dir/")
   }
 
+  test("pass: identity, including null") {
+    assert(PassNormalizer.normalize("http://h.test/a?b=1#c") == "http://h.test/a?b=1#c")
+    assert(PassNormalizer.normalize(null) == null)
+  }
+
+  test("regex rules: ordered global replaceAll, group refs, invalid pattern skipped") {
+    val n = RegexRuleNormalizer(Seq(
+      ("(?i)PHPSESSID=[0-9a-f]+&?", ""),        // strip session id
+      ("&+$", ""),                               // then tidy trailing &
+      ("//(\\d+)/", "/n$1/"),                    // group reference
+      ("([unclosed", "x")))                      // invalid: skipped, not fatal
+    assert(n.normalize("http://h.test/p?PHPSESSID=ab12&x=1") == "http://h.test/p?x=1")
+    assert(n.normalize("http://h.test/p?x=1&PHPSESSID=ab12") == "http://h.test/p?x=1")
+    assert(n.normalize("http://h.test//42/a") == "http://h.test/n42/a")
+    assert(n.normalize(null) == null)
+  }
+
+  test("regex rules: reference regex-normalize.xml format parses in order") {
+    val n = RegexRuleNormalizer.parseXml(
+      """<?xml version="1.0"?>
+        |<regex-normalize>
+        |  <regex>
+        |    <pattern>(?i)sid=[0-9a-f]+&amp;?</pattern>
+        |    <substitution></substitution>
+        |  </regex>
+        |  <regex><pattern>\?&amp;</pattern><substitution>?</substitution></regex>
+        |  <regex><pattern>missing-sub-means-delete</pattern></regex>
+        |</regex-normalize>""".stripMargin)
+    assert(n.rules.size == 3)
+    assert(n.normalize("http://h.test/p?sid=99ff&a=1") == "http://h.test/p?a=1")
+    assert(n.normalize("http://h.test/missing-sub-means-delete/x") == "http://h.test//x")
+    assert(RegexRuleNormalizer.parseXml("not xml at all").rules.isEmpty)
+  }
+
   test("chain: ajax runs on the raw url before the canonicalizer strips fragments") {
     val chain = UrlNormalizerChain(Seq(AjaxNormalizer, QuerystringSortNormalizer))
     assert(chain.normalize("HTTP://H.Test/app?x=1#!state=5") ==
