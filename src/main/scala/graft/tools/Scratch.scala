@@ -3,59 +3,50 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Working verification driver (edited per change under test). Currently:
-  * drive the user-rule regex normalizer + pass normalizer through the
-  * public chain surface — a crawl round whose config carries
-  * extraUrlNormalizers must produce frontier keys with the rules applied
-  * on BOTH the seed and the discovered-link paths. */
+  * whole-surface plan audit — every SparkEntry query's physical plan is
+  * scanned for scale anti-patterns (CartesianProduct /
+  * BroadcastNestedLoopJoin anywhere except the two documented brute-force
+  * similarity baselines) and for whole-stage-codegen coverage. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE wraps the static plan in AdaptiveSparkPlan(isFinalPlan=false),
+      // hiding WholeStageCodegen spans from explain before execution — off
+      // here so the audit sees the real codegen boundaries (the engine runs
+      // with AQE on; codegen is unaffected by it)
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
 
-    val rules = graft.url.RegexRuleNormalizer.parseXml(
-      """<?xml version="1.0"?>
-        |<regex-normalize>
-        |  <regex><pattern>(?i)[?&amp;]sid=[0-9a-f]+</pattern><substitution></substitution></regex>
-        |</regex-normalize>""".stripMargin)
-    val chain = Seq(rules, graft.url.PassNormalizer)
-
-    // seed + linked web where every page links with a session id attached
-    val base = "http://norm.fix.test/"
-    import graft.fetch.{Fetcher, ProtocolResponse}
-    import graft.fixtures.RobotsPolicy
-    import graft.schema.{Doc, Span}
-    case class LinkWeb(links: Map[String, Seq[String]]) extends Fetcher {
-      override def fetch(url: String): ProtocolResponse = {
-        val targets = links.getOrElse(url, Seq.empty)
-        val spans = Span("text", s"page at $url", null, 0) +:
-          targets.zipWithIndex.map { case (t, i) => Span("link", s"l$i", t, i + 1) }
-        ProtocolResponse("SUCCESS", null, Doc(url, spans), "text/html", 1)
+    val dir = "/root/testdata/sf0.001"
+    // brute-force exact baselines: the cross join IS the documented design
+    // (broadcast query side / bounded maxId); the ANN siblings are the
+    // scale path
+    val allowedCross = Set("q_embed_topk", "q_embed_pairs")
+    var bad = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      try {
+        val df = q(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val cross = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        // formatted mode marks codegen stages as "* Node (n)" + "[codegen id : k]"
+        val codegen = plan.contains("codegen id") || plan.contains("WholeStageCodegen")
+        val verdict =
+          if (cross && !allowedCross(name)) { bad += 1; "ANTI-PATTERN" }
+          else if (cross) "cross-ok(baseline)"
+          else "ok"
+        println(f"$name%-24s $verdict%-20s codegen=$codegen")
+      } catch {
+        case e: Exception => bad += 1; println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
       }
-      override def robots(host: String): RobotsPolicy = RobotsPolicy.AllowAll
     }
-    val web = LinkWeb(Map(
-      base -> Seq(base + "a?sid=99ff", base + "b?x=1&sid=0abc"),
-      base + "a" -> Seq(base + "b?x=1&sid=dead"),
-      base + "b?x=1" -> Nil))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-scratch").toString
-    val cfg = graft.frontier.CrawlConfig(serverDelayMs = 0, fetchLatencyMs = 0,
-      signer = "md5", extraUrlNormalizers = chain)
-    val crawl = graft.cli.Crawl(spark, tmp, cfg, web)
-    crawl.inject(Seq(base + "?sid=f00d").toDS())
-    crawl.round(); crawl.round()
-    val urls = crawl.frontier.select("url").as[String].collect().sorted
-    println("frontier:")
-    urls.foreach(u => println("  " + u))
-    assert(urls.contains(base) && urls.contains(base + "a") && urls.contains(base + "b?x=1"),
-      "session-id stripped on seed AND link paths")
-    assert(!urls.exists(_.contains("sid=")), "no sid= key survives the chain")
-    println("OK: regex-rule normalizer applied on seed + link paths, " + urls.length + " frontier rows")
+    println(if (bad == 0) "PLAN AUDIT CLEAN" else s"PLAN AUDIT: $bad offenders")
     spark.stop()
   }
 }
