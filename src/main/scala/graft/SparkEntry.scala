@@ -108,6 +108,9 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, d) => DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75, maxDfFraction = 1.0)),
     "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(docsAug(s, d), 3, 0.5)),
     "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(docsAug(s, d), 0.5)),
+    // near-dup CLUSTERS: connected components over the jaccard pair graph
+    "q_neardup_clusters" -> ((s, d) => DedupOps.connectedComponents(
+      DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75, maxDfFraction = 1.0))),
     "q_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(docsAug(s, d), 3)),
     // --- similarity search (embeddings) ---
     "q_embed_pairs" -> ((s, d) => SimilarityOps.cosinePairs(Relational.embeddings(s, d), 0.35, 300)),
@@ -479,6 +482,26 @@ object SparkEntry {
                 round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.75""",
+    // connected components over the q_jaccard_pairs graph: recursive
+    // min-label reachability (r reaches n), min reachable id = cluster id
+    "q_neardup_clusters" ->
+      """WITH RECURSIVE aug AS (SELECT doc_id, text FROM documents
+                      UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
+              toks AS (SELECT DISTINCT doc_id, unnest(str_split(trim(text), ' ')) AS token FROM aug),
+              toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+              inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                        FROM toks2 a JOIN toks2 b ON a.token = b.token AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              pairs AS (SELECT id_a, id_b
+                        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+                        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.75),
+              edges AS (SELECT id_a AS n, id_b AS m FROM pairs UNION SELECT id_b, id_a FROM pairs),
+              reach(n, r) AS (
+                SELECT n, n FROM edges
+                UNION
+                SELECT e.m, reach.r FROM reach JOIN edges e ON e.n = reach.n)
+         SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n""",
     "q_embed_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
               p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

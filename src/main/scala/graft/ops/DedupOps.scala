@@ -242,4 +242,52 @@ object DedupOps {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Near-duplicate CLUSTERS from a similarity-pair table: connected
+    * components over the pair graph, labelling every paired doc with the
+    * minimum doc id of its component — the production step AFTER pair
+    * generation (exact/Jaccard/MinHash/SimHash all emit pairs): keep
+    * `doc_id == cluster_id`, drop the rest.
+    *
+    * Iterative min-label propagation as a DataFrame loop (the LinkRank
+    * shape: persisted edges, localCheckpoint lineage cuts, convergence by
+    * changed-row count): label(n) ← min(label(n), min over neighbours'
+    * labels) until a fixed point. Iterations needed = graph diameter —
+    * tiny for near-dup graphs (components are quasi-cliques out of LSH
+    * buckets, diameter ≈ 2-4), so the loop is a handful of
+    * self-partitioned joins, never an all-pairs pass. Docs with no pair
+    * never enter (they are their own canonical row by definition).
+    * Throws if maxIter is hit before convergence (no silent partial
+    * labels; raise maxIter for pathological chain graphs). */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("n"), col(bCol).cast("long").as("m"))
+      .union(pairs.select(col(bCol).cast("long").as("n"), col(aCol).cast("long").as("m")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("n"))
+      .agg(least(min(col("m")), first(col("n"))).as("lbl"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node pulls the smallest label among its neighbours
+      val pulled = edges
+        .join(labels.withColumnRenamed("n", "m"), Seq("m"))
+        .groupBy(col("n")).agg(min(col("lbl")).as("nbr"))
+      val next = labels.join(pulled, Seq("n"))
+        .select(col("n"), least(col("lbl"), col("nbr")).as("lbl"),
+          (col("nbr") < col("lbl")).as("changed"))
+        .localCheckpoint(true) // cut lineage, keep data distributed
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("n"), col("lbl"))
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+  }
 }

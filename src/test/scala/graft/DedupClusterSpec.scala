@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+/** Near-dup clustering: connected components over similarity pairs. */
+class DedupClusterSpec extends AnyFunSuite with SparkSpecBase {
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    DedupOps.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  /** Reference union-find over the same pairs. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // min id per component is the canonical label
+    val byRoot = nodes.groupBy(find)
+    nodes.map(n => n -> byRoot(find(n)).min).toMap
+  }
+
+  test("chain, star, cycle, singleton pair") {
+    // chain 1-2-3-4; star 10-{11,12,13}; cycle 20-21-22-20; pair 30-31
+    val pairs = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 4),
+      (11, 10), (10, 12), (13, 10),
+      (20, 21), (21, 22), (22, 20),
+      (31, 30))
+    val got = components(pairs)
+    assert(got == unionFind(pairs))
+    assert(got(4L) == 1L && got(13L) == 10L && got(22L) == 20L && got(31L) == 30L)
+  }
+
+  test("random graphs agree with union-find (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 60
+      val pairs = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      assert(components(pairs) == unionFind(pairs))
+    }
+  }
+
+  test("idempotent: clustering the (doc,cluster) pairs again changes nothing") {
+    import spark.implicits._
+    val pairs = Seq[(Long, Long)]((5, 3), (3, 9), (100, 7), (7, 5))
+    val first = components(pairs)
+    val again = DedupOps.connectedComponents(
+      first.toSeq.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    // every node labels to the same canonical id (cluster ids label themselves)
+    first.foreach { case (n, c) => assert(again(n) == c) }
+  }
+
+  test("keep-canonical flow: one survivor per near-dup component") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),         // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon"), // near 1/2
+      (4L, "unrelated text entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.unigramJaccardPairs(docs, 0.7, maxDfFraction = 1.0)
+    val clusters = DedupOps.connectedComponents(pairs)
+    val survivors = docs.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 4L)) // 2,3 fold into 1; 4 unpaired survives
+  }
+}
