@@ -111,6 +111,9 @@ object SparkEntry {
     // near-dup CLUSTERS: connected components over the jaccard pair graph
     "q_neardup_clusters" -> ((s, d) => DedupOps.connectedComponents(
       DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75, maxDfFraction = 1.0))),
+    // benchmark decontamination: docs sharing ≥2 3-grams with the doc_id<10 "eval set"
+    "q_decontaminate" -> ((s, d) => DedupOps.decontaminate(
+      docs(s, d), docs(s, d).filter(col("doc_id") < 10), 3, 2)),
     "q_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(docsAug(s, d), 3)),
     // --- similarity search (embeddings) ---
     "q_embed_pairs" -> ((s, d) => SimilarityOps.cosinePairs(Relational.embeddings(s, d), 0.35, 300)),
@@ -482,6 +485,17 @@ object SparkEntry {
                 round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.75""",
+    // the benchmark side (doc_id < 10) mirrors docShinglesRaw's 3-gram
+    // shingling exactly (the q_ngram_jaccard-proven fragment)
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM t),
+              bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+         SELECT s.doc_id, count(*) AS contaminated_ngrams
+         FROM sh s JOIN bench b ON s.shingle = b.shingle
+         GROUP BY 1 HAVING count(*) >= 2""",
     // connected components over the q_jaccard_pairs graph: recursive
     // min-label reachability (r reaches n), min reachable id = cluster id
     "q_neardup_clusters" ->

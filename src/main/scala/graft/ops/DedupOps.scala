@@ -243,6 +243,31 @@ object DedupOps {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Benchmark DECONTAMINATION: training documents sharing at least
+    * `minHits` distinct word n-grams with a benchmark/eval set — the
+    * standard "did the test set leak into the training data" sweep an
+    * LLM pipeline runs before training. Returns (doc_id,
+    * contaminated_ngrams) for every flagged doc; anti-join the result to
+    * clean the corpus.
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval sets
+    * are thousands of docs, the corpus is billions), so its distinct
+    * shingle set BROADCASTS — the corpus is touched by exactly one
+    * map-side hash semi-join plus a per-doc partial aggregation, no
+    * corpus self-join, no shuffle of corpus shingles. */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 3,
+      minHits: Int = 1): DataFrame = {
+    val benchSh = docShinglesRaw(benchmark, n).select("shingle").distinct()
+    docShinglesRaw(docs, n)
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("contaminated_ngrams"))
+      .filter(col("contaminated_ngrams") >= minHits)
+  }
+
   /** Near-duplicate CLUSTERS from a similarity-pair table: connected
     * components over the pair graph, labelling every paired doc with the
     * minimum doc id of its component — the production step AFTER pair

@@ -63,6 +63,25 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpecBase {
     first.foreach { case (n, c) => assert(again(n) == c) }
   }
 
+  test("decontamination: benchmark n-gram leaks flagged, clean docs pass") {
+    import spark.implicits._
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps right here"), // 3 shared 3-grams
+      (2L, "quick brown dogs are not foxes at all"),                // 0 shared 3-grams
+      (3L, "over the lazy dog it went"),                            // 2 shared 3-grams
+      (4L, "the quick start guide")                                 // 1 shared 3-gram ("the quick" is a 2-gram; 3-gram "the quick start" differs) — 0
+    ).toDF("doc_id", "text")
+    val flagged2 = DedupOps.decontaminate(corpus, bench, 3, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged2.keySet == Set(1L, 3L), s"minHits=2 flags exactly 1 and 3: $flagged2")
+    assert(flagged2(1L) == 3L && flagged2(3L) == 2L)
+    // broadcast shape: the benchmark side must hash-join, never shuffle the corpus side twice
+    val plan = DedupOps.decontaminate(corpus, bench, 3, 1).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side broadcasts:\n$plan")
+  }
+
   test("keep-canonical flow: one survivor per near-dup component") {
     import spark.implicits._
     val docs = Seq(
