@@ -114,6 +114,10 @@ object SparkEntry {
     // benchmark decontamination: docs sharing ≥2 3-grams with the doc_id<10 "eval set"
     "q_decontaminate" -> ((s, d) => DedupOps.decontaminate(
       docs(s, d), docs(s, d).filter(col("doc_id") < 10), 3, 2)),
+    // deterministic stratified sampling: per-language keep rates, seeded hash
+    "q_stratified_sample" -> ((s, d) => graft.ops.SampleOps.stratifiedSample(
+      docs(s, d).select(col("doc_id"), col("lang")), "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultRate = 0.05, seed = 7L)),
     "q_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(docsAug(s, d), 3)),
     // --- similarity search (embeddings) ---
     "q_embed_pairs" -> ((s, d) => SimilarityOps.cosinePairs(Relational.embeddings(s, d), 0.35, 300)),
@@ -723,6 +727,10 @@ object SparkEntry {
     // the staged DuckDB xxh64 re-derivation in queries/HashOracles (macro
     // prelude + single-op CTE stages; bit-exact vs Spark's XxHash64)
     "q_minhash_lsh" -> graft.queries.HashOracles.minhashLshSql,
+    // seed literal pre-folded: u64(xxh64(7L, 42)) drives one long-hash chain
+    "q_stratified_sample" -> graft.queries.HashOracles.stratifiedSampleSql(
+      BigInt(graft.ops.SampleOps.xxh64Long(7L, 42L)) & BigInt("18446744073709551615"),
+      Map("en" -> 500000L, "de" -> 250000L, "zh" -> 100000L), 50000L),
     "q_simhash_pairs" -> graft.queries.HashOracles.simhashPairsSql,
     "q_ann_lsh_topk" -> graft.queries.HashOracles.annLshTopKSql,
     "q_ann_ivf_topk" -> graft.queries.HashOracles.annIvfTopKSql,

@@ -232,6 +232,25 @@ CREATE OR REPLACE MACRO xx_w4(s, o) AS CAST(unicode(s[o+1]) AS HUGEINT) + unicod
     withSql(s.toSeq, fin, Set("sh0", "shh", "docsh", "mh", "buckets", "cand", "sizes"))
   }
 
+  /** Mirror of SampleOps.stratifiedSample(documents, "doc_id", "lang",
+    * rates, default, seed): one long-hash chain per row with the seed
+    * literal pre-folded driver-side (`seedU64` = unsigned
+    * SampleOps.xxh64Long(seed, 42)), then the pmod bucket and the
+    * per-stratum ppm threshold. */
+  def stratifiedSampleSql(seedU64: BigInt, ppm: Map[String, Long], defaultPpm: Long): String = {
+    val s = new ArrayBuffer[(String, String)]
+    s += (("base", "SELECT doc_id, lang FROM documents"))
+    val b = new Stages("base", "ss")
+    hashLong(b, "xx_u64(doc_id)", seedU64.toString, "hh")
+    s ++= b.stages
+    s += (("bkt",
+      s"SELECT doc_id, lang, ((xx_s64(hh) % 1000000) + 1000000) % 1000000 AS sample_bucket FROM ${b.lastTable}"))
+    val cases = ppm.toSeq.sortBy(_._1).map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+    val fin =
+      s"SELECT doc_id, lang, sample_bucket FROM bkt WHERE sample_bucket < CASE $cases ELSE $defaultPpm END"
+    withSql(s.toSeq, fin, Set.empty)
+  }
+
   /** Mirror of DedupOps.simhashPairs(docsAug, 3): token-hash weighted bit
     * votes → 64-bit fingerprint → 16-bit chunk banding → popcount verify. */
   def simhashPairsSql: String = {

@@ -82,6 +82,33 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark side broadcasts:\n$plan")
   }
 
+  test("stratified sampling: scalar xxh64 parity, rates honored, nested samples") {
+    import spark.implicits._
+    import graft.ops.SampleOps
+    // scalar xxh64Long must agree with the engine's own xxhash64 chain
+    val ids = Seq(0L, 1L, 42L, -7L, Long.MaxValue, Long.MinValue, 123456789L)
+    val fromSpark = ids.toDF("v")
+      .select(col("v"), xxhash64(lit(7L), col("v")).as("h")).as[(Long, Long)].collect().toMap
+    ids.foreach { v =>
+      assert(SampleOps.xxh64Long(v, SampleOps.xxh64Long(7L, 42L)) == fromSpark(v),
+        s"xxh64Long parity for $v")
+    }
+    // rates honored within hash-uniformity tolerance, and nested: the 10%
+    // sample is a subset of the 50% sample at the same seed
+    val n = 20000L
+    val df = spark.range(n).select(col("id").as("doc_id"), lit("en").as("lang"))
+    def kept(rate: Double) = SampleOps.stratifiedSample(
+      df, "doc_id", "lang", Map("en" -> rate), seed = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    val half = kept(0.5); val tenth = kept(0.1)
+    assert(math.abs(half.size / n.toDouble - 0.5) < 0.02, s"~50%: ${half.size}")
+    assert(math.abs(tenth.size / n.toDouble - 0.1) < 0.02, s"~10%: ${tenth.size}")
+    assert(tenth.subsetOf(half), "nested: lower rate is a subset at the same seed")
+    // unknown stratum falls to defaultRate = 0.0 → dropped
+    val other = spark.range(100).select(col("id").as("doc_id"), lit("xx").as("lang"))
+    assert(SampleOps.stratifiedSample(other, "doc_id", "lang", Map("en" -> 1.0)).isEmpty)
+  }
+
   test("keep-canonical flow: one survivor per near-dup component") {
     import spark.implicits._
     val docs = Seq(
