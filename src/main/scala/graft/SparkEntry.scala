@@ -94,6 +94,7 @@ object SparkEntry {
     "q_bpeish_tokens" -> ((s, d) => TextOps.bpeishTokenCount(docs(s, d))),
     "q_bpe_tokens" -> ((s, d) => TextOps.bpeTokenCount(docs(s, d))),
     "q_text_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
+    "q_repetition" -> ((s, d) => TextOps.repetitionSignals(docs(s, d))),
     "q_lang_guess" -> ((s, d) => TextOps.langGuess(docs(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "q_text_fingerprint64" -> ((s, d) => {
@@ -431,6 +432,28 @@ object SparkEntry {
                 round(stops / words, 4) AS stop_ratio,
                 round(least(words / 50.0, 1.0) * (1.0 - stops / words), 4) AS quality_score
          FROM s""",
+    // Gopher repetition signals: top-token and top-2-gram word fractions,
+    // floor-ppm; bigrams use RAW tokens (incl. empties), unigrams drop
+    // empties — mirroring TextOps.repetitionSignals exactly
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS tk FROM documents
+                    WHERE len(str_split(trim(text), ' ')) > 0),
+              uni AS (SELECT doc_id, unnest(tk) AS g FROM t),
+              uni2 AS (SELECT doc_id, g FROM uni WHERE length(g) > 0),
+              uc AS (SELECT doc_id, g, count(*) AS c FROM uni2 GROUP BY 1, 2),
+              u AS (SELECT doc_id,
+                      CAST(floor(CAST(max(c) AS DOUBLE) * 1 / sum(c) * 1000000) AS BIGINT)
+                        AS rep_top_1gram_ppm FROM uc GROUP BY 1),
+              bi0 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 2),
+              bi AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS g
+                     FROM bi0),
+              bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+              b AS (SELECT doc_id,
+                      CAST(floor(CAST(max(c) AS DOUBLE) * 2 / (sum(c) + 1) * 1000000) AS BIGINT)
+                        AS rep_top_2gram_ppm FROM bc GROUP BY 1)
+         SELECT u.doc_id, u.rep_top_1gram_ppm, b.rep_top_2gram_ppm
+         FROM u LEFT JOIN b USING (doc_id)""",
     "q_lang_guess" ->
       """WITH p AS (SELECT doc_id, lang, ' ' || text || ' ' AS pt FROM documents),
               sc AS (SELECT doc_id, lang,

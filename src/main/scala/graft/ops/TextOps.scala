@@ -108,4 +108,33 @@ object TextOps {
         (acc, x) => acc + x
       ) % 1000000007L).as("fingerprint")
     )
+
+  /** Repetition signals (the Gopher rep filters): the fraction of a
+    * document's words claimed by its most frequent token and by its most
+    * frequent word 2-gram — boilerplate/spam pages score high and get
+    * culled before training. Shapes: explode → per-(doc, gram) count →
+    * per-doc max — two partial-aggregated shuffles keyed by doc, the same
+    * plan at any corpus size (no per-row quadratic expression work).
+    * Fractions emitted as floor-ppm longs (engine-neutral compare). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), " ").as("tk"))
+      .filter(size(col("tk")) > 0)
+    def topFrac(grams: DataFrame, n: Int): DataFrame =
+      grams
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top"), sum(col("c")).as("total"))
+        .select(col("doc_id"),
+          floor(col("top").cast("double") * lit(n) / (col("total") + lit(n - 1)) * 1000000)
+            .cast("long").as(s"rep_top_${n}gram_ppm"))
+    val uni = toks.select(col("doc_id"), explode(col("tk")).as("g"))
+      .filter(length(col("g")) > 0)
+    val bi = toks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("tk")) - 2),
+          i => concat_ws(" ", col("tk")(i), col("tk")(i + 1)))).as("g"))
+    topFrac(uni, 1).join(topFrac(bi, 2), Seq("doc_id"), "left")
+  }
 }

@@ -109,6 +109,21 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpecBase {
     assert(SampleOps.stratifiedSample(other, "doc_id", "lang", Map("en" -> 1.0)).isEmpty)
   }
 
+  test("repetition signals: top-token and top-bigram fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),   // top token a: 3/4; top bigram "a a": 2×2/4 = 1.0
+      (2L, "x y"),       // 1/2; "x y": 1×2/2 = 1.0
+      (3L, "solo")       // 1/1; no bigram → null
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(1L) == ((750000L, 1000000L)))
+    assert(got(2L) == ((500000L, 1000000L)))
+    assert(got(3L) == ((1000000L, -1L)))
+  }
+
   test("keep-canonical flow: one survivor per near-dup component") {
     import spark.implicits._
     val docs = Seq(
