@@ -109,9 +109,11 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, d) => DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75, maxDfFraction = 1.0)),
     "q_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(docsAug(s, d), 3, 0.5)),
     "q_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(docsAug(s, d), 0.5)),
-    // near-dup CLUSTERS: connected components over the jaccard pair graph
+    // near-dup CLUSTERS: connected components over the DF-CUT n-gram pair
+    // graph (the scalable pair source — the un-cut unigram baseline is
+    // quadratic in hot tokens and exists only as the exactness mirror)
     "q_neardup_clusters" -> ((s, d) => DedupOps.connectedComponents(
-      DedupOps.unigramJaccardPairs(docsAug(s, d), 0.75, maxDfFraction = 1.0))),
+      DedupOps.ngramJaccardPairs(docsAug(s, d), 3, 0.5))),
     // benchmark decontamination: docs sharing ≥2 3-grams with the doc_id<10 "eval set"
     "q_decontaminate" -> ((s, d) => DedupOps.decontaminate(
       docs(s, d), docs(s, d).filter(col("doc_id") < 10), 3, 2)),
@@ -523,20 +525,26 @@ object SparkEntry {
          SELECT s.doc_id, count(*) AS contaminated_ngrams
          FROM sh s JOIN bench b ON s.shingle = b.shingle
          GROUP BY 1 HAVING count(*) >= 2""",
-    // connected components over the q_jaccard_pairs graph: recursive
-    // min-label reachability (r reaches n), min reachable id = cluster id
+    // connected components over the q_ngram_jaccard pair graph (df-cut
+    // shingles, the scalable source): recursive min-label reachability
+    // (r reaches n), min reachable id = cluster id
     "q_neardup_clusters" ->
       """WITH RECURSIVE aug AS (SELECT doc_id, text FROM documents
                       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20),
-              toks AS (SELECT DISTINCT doc_id, unnest(str_split(trim(text), ' ')) AS token FROM aug),
-              toks2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
-              sizes AS (SELECT doc_id, count(*) AS sz FROM toks2 GROUP BY 1),
+              t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks FROM aug),
+              sh0 AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                              i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM t),
+              hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+                      HAVING count(*) > 0.5 * (SELECT count(*) FROM aug)),
+              sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
               inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                        FROM toks2 a JOIN toks2 b ON a.token = b.token AND a.doc_id < b.doc_id
+                        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                         GROUP BY 1, 2),
               pairs AS (SELECT id_a, id_b
                         FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-                        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.75),
+                        WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.5),
               edges AS (SELECT id_a AS n, id_b AS m FROM pairs UNION SELECT id_b, id_a FROM pairs),
               reach(n, r) AS (
                 SELECT n, n FROM edges
