@@ -44,7 +44,8 @@ object Bench {
     "q_text_fingerprint64", "q_bpeish_tokens", "q_bpe_tokens", "q_dedup_exact", "q_ngram_jaccard", "q_minhash_lsh", "q_simhash_pairs",
     "q_embed_pairs", "q_embed_topk", "q_ann_lsh_topk", "q_ann_ivf_topk", "q_media_meta", "q_media_decode",
     "q_lang_field", "q_geoip",
-    "q_neardup_clusters", "q_decontaminate", "q_stratified_sample", "q_repetition")
+    "q_neardup_clusters", "q_decontaminate", "q_stratified_sample", "q_repetition",
+    "q_pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

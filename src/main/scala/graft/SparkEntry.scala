@@ -121,6 +121,9 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => graft.ops.SampleOps.stratifiedSample(
       docs(s, d).select(col("doc_id"), col("lang")), "doc_id", "lang",
       Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1), defaultRate = 0.05, seed = 7L)),
+    // sequence packing: concat-and-chunk docs into 2000-char bins, 8 streams
+    "q_pack_sequences" -> ((s, d) => graft.ops.SampleOps.packSequences(
+      docs(s, d).select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", 2000L, 8)),
     "q_simhash_pairs" -> ((s, d) => DedupOps.simhashPairs(docsAug(s, d), 3)),
     // --- similarity search (embeddings) ---
     "q_embed_pairs" -> ((s, d) => SimilarityOps.cosinePairs(Relational.embeddings(s, d), 0.35, 300)),
@@ -514,6 +517,16 @@ object SparkEntry {
                 round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.75""",
+    "q_pack_sequences" ->
+      """WITH p AS (SELECT doc_id, n_chars, doc_id % 8 AS pack_key FROM documents),
+              c AS (SELECT doc_id, pack_key,
+                      coalesce(sum(n_chars) OVER (PARTITION BY pack_key ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars, 0) AS bfr
+                    FROM p)
+         SELECT doc_id, pack_key,
+                CAST(floor(CAST(bfr AS DOUBLE) / 2000) AS BIGINT) AS bin_id,
+                CAST(bfr % 2000 AS BIGINT) AS bin_offset
+         FROM c""",
     // the benchmark side (doc_id < 10) mirrors docShinglesRaw's 3-gram
     // shingling exactly (the q_ngram_jaccard-proven fragment)
     "q_decontaminate" ->

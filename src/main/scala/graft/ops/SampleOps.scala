@@ -43,6 +43,35 @@ object SampleOps {
   def sampleBucket(id: Column, seed: Long): Column =
     pmod(xxhash64(lit(seed), id.cast("long")), lit(1000000L))
 
+  /** Sequence PACKING (concat-and-chunk): assign documents to fixed
+    * token-budget bins for training-sequence assembly. Documents are
+    * spread over `packKeys` independent streams by doc-id hash
+    * (`pmod(id, packKeys)`), and within each stream packed in doc-id
+    * order by running token count: bin = floor(tokens_before / budget)
+    * — the standard concat-then-chunk policy (a document may straddle a
+    * bin boundary; `bin_offset` says where it starts inside its bin).
+    *
+    * Scale shape: one shuffle keyed by pack_key + a sort-within-stream
+    * window cumsum. `packKeys` bounds the window size (corpus/packKeys
+    * docs per stream) and is the parallelism knob — at 10^10 docs use
+    * thousands of keys; every stream packs independently and
+    * deterministically (same input → same bins at any cluster size). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      packKeys: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_key")).orderBy(col(idCol))
+    df.withColumn("pack_key", pmod(col(idCol).cast("long"), lit(packKeys.toLong)))
+      .withColumn("_before",
+        coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L)))
+      .select(col(idCol), col("pack_key"),
+        floor(col("_before").cast("double") / budget).cast("long").as("bin_id"),
+        (col("_before") % budget).as("bin_offset"))
+  }
+
   /** Keep each row iff its bucket < rate(stratum)·10^6; strata missing
     * from `rates` fall to `defaultRate`. Emits the bucket as
     * `sample_bucket` (lineage: WHY a row was kept is auditable). */

@@ -109,6 +109,23 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpecBase {
     assert(SampleOps.stratifiedSample(other, "doc_id", "lang", Map("en" -> 1.0)).isEmpty)
   }
 
+  test("sequence packing: running-budget bins per stream, deterministic") {
+    import spark.implicits._
+    import graft.ops.SampleOps
+    // one stream (packKeys=1), budget 10: docs of 4,4,4,4 tokens →
+    // before = 0,4,8,12 → bins 0,0,0,1; offsets 0,4,8,2
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L)).toDF("doc_id", "n_tok")
+    val got = SampleOps.packSequences(docs, "doc_id", "n_tok", 10L, 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L, 0L), (2L, 0L, 0L, 4L), (3L, 0L, 0L, 8L), (4L, 0L, 1L, 2L)))
+    // streams pack independently: same docs over 2 keys
+    val two = SampleOps.packSequences(docs, "doc_id", "n_tok", 10L, 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, k, b, o) => d -> ((k, b, o)) }.toMap
+    assert(two(2L) == ((0L, 0L, 0L)) && two(4L) == ((0L, 0L, 4L))) // evens: stream 0
+    assert(two(1L) == ((1L, 0L, 0L)) && two(3L) == ((1L, 0L, 4L))) // odds: stream 1
+  }
+
   test("repetition signals: top-token and top-bigram fractions") {
     import spark.implicits._
     val docs = Seq(
