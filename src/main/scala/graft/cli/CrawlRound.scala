@@ -235,7 +235,11 @@ object CrawlRound {
               (k, _) => cfg.frontierRelayKeys.map(t => k === lit(t)).reduce(_ || _)).as("urlmeta"))
           .filter(size(col("urlmeta")) > 0))
       }
-    val linked0 = Parse.linkedUpdates(pages, cfg, round, parentMeta)
+    // intermediate caches registered by the parse/link pipeline (the
+    // per-link explode is persisted there to feed two subtrees) — released
+    // with the round's other persists below
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val linked0 = Parse.linkedUpdates(pages, cfg, round, parentMeta, roundCaches += _)
     val linked = if (seen.isDefined) linked0.persist(StorageLevel.MEMORY_AND_DISK) else linked0
     val newFrontier0 =
       if (cfg.columnarUpdateDb) graft.frontier.UpdateDbColumnar.run(dbIn, fetchUpdates, linked, cfg, now, seen)
@@ -346,6 +350,7 @@ object CrawlRound {
     pages.unpersist()
     if (seen.isDefined) linked.unpersist()
     if (persistFrontier) newFrontier.unpersist()
+    roundCaches.foreach(_.unpersist())
 
     RoundStats(round, generated, fetchedPages, parsedCount, frontierSize, unfetched,
       (System.nanoTime() - t0) / 1000000, virtualMsMax, stageMs.toMap)

@@ -288,7 +288,8 @@ object PolitenessExecutor {
                   // (feed entries may live on another host).
                   docs.drop(1).foreach { sd =>
                     val su =
-                      if (sd.external) graft.url.UrlFilters.canonicalizeAndFilter(sd.url)
+                      if (sd.external) graft.url.UrlFilters.canonicalizeAndFilter(
+                        sd.url, cfg.extraUrlNormalizers, cfg.extraUrlFilters)
                       else sd.url
                     if (su != null) {
                       val sh = Urls.hostOf(su)

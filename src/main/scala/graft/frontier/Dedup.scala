@@ -49,7 +49,10 @@ object Dedup {
 
     val joinKeys = if (byDomain) Seq("sig_hex", "domain") else Seq("sig_hex")
     val marked = candidates
-      .join(best, joinKeys)
+      // deliberate join strategy (guide §3.1): best has ONE row per
+      // signature group — hash it per partition instead of sorting both
+      // full-width sides through a sort-merge join
+      .join(best.hint("shuffle_hash"), joinKeys)
       .withColumn("status",
         when(col("url") =!= col("_keep_url"), lit(CrawlStatus.DB_DUPLICATE)).otherwise(col("status")))
       .drop("_keep_url", "sig_hex")

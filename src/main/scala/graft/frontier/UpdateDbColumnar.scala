@@ -141,9 +141,15 @@ object UpdateDbColumnar {
           col("url").as("l_url"), col("score").as("l_credit"),
           lit(null).cast("map<string,string>").as("l_meta"))
 
+    // deliberate join strategy (guide §3.1): both merge joins get a
+    // SHUFFLE_HASH hint on the update-sized side (fetch rows ≤ topN, link
+    // credits ≤ distinct targets — both a fraction of the frontier), so the
+    // frontier is hashed against a per-partition build table instead of
+    // paying a full sort on every side of two sort-merge joins. Spark ≥3.1
+    // executes full-outer shuffled-hash joins; AQE skew split still applies.
     val joined = old
-      .join(f, col("url") === col("f_url"), "full_outer")
-      .join(l, coalesce(col("url"), col("f_url")) === col("l_url"), "full_outer")
+      .join(f.hint("shuffle_hash"), col("url") === col("f_url"), "full_outer")
+      .join(l.hint("shuffle_hash"), coalesce(col("url"), col("f_url")) === col("l_url"), "full_outer")
 
     val url = coalesce(col("url"), col("f_url"), col("l_url"))
     val hasOld = col("o_status").isNotNull

@@ -21,6 +21,7 @@ object GraftFunctions {
     "url_hash_interleave" -> ((es: Seq[Expression]) => UrlHashInterleave(es.head)),
     "url_accept" -> ((es: Seq[Expression]) => UrlAccept(es.head)),
     "text_fingerprint64" -> ((es: Seq[Expression]) => TextFingerprint64(es.head)),
+    "text_count_substr" -> ((es: Seq[Expression]) => TextCountSubstr(es(0), es(1))),
     "text_bpe_count" -> ((es: Seq[Expression]) => TextBpeCount(es.head)),
     "mime_resolve" -> ((es: Seq[Expression]) => MimeResolve(es(0), es(1))),
     "url_surt" -> ((es: Seq[Expression]) => UrlSurt(es.head)),

@@ -195,6 +195,39 @@ case class UrlAccept(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_accept"
 }
 
+/** Allocation-free substring occurrence count — the leftmost non-overlapping
+  * scan, exactly what `(length(s) - length(replace(s, n, ''))) / length(n)`
+  * counts, WITHOUT materializing a replaced copy of the text per needle per
+  * row (the marker-word scorers run a dozen needles over every document).
+  * Operates directly on UTF8String bytes via indexOf. */
+object TextNative {
+  def countSubstr(s: UTF8String, n: UTF8String): Long = {
+    val step = n.numChars()
+    if (step == 0) return 0L
+    var c = 0L
+    var i = s.indexOf(n, 0)
+    while (i >= 0) {
+      c += 1
+      i = s.indexOf(n, i + step)
+    }
+    c
+  }
+}
+
+/** Codegen'd leftmost non-overlapping occurrence count (see [[TextNative]]). */
+case class TextCountSubstr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    TextNative.countSubstr(s.asInstanceOf[UTF8String], n.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.TextNative.countSubstr($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "text_count_substr"
+}
+
 /** Merge-table BPE token count (graft.ops.Bpe): real tiktoken-style greedy
   * pair merging, codegen'd via the static forwarder — token budgeting
   * stays inside whole-stage codegen, no UDF boundary. */

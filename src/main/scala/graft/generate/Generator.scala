@@ -33,6 +33,22 @@ import graft.schema.{CrawlStatus, FetchTask, FrontierEntry}
   * (hash(host) + hash(url) % k) — the reference's generate-domain-limits
   * salting (URLPartitioner.java:128-133) generalized to per-host counts.
   */
+/** Narrow generate-shuffle row: the FetchTask scalars + precomputed sort
+  * value and depth — what the generate repartition actually needs to ship. */
+private[generate] case class GenRow(
+    url: String,
+    url_hash: Long,
+    host: String,
+    domain: String,
+    status: Byte,
+    fetch_time: Long,
+    retries: Int,
+    fetch_interval: Int,
+    score: Float,
+    sv: Double,
+    depth: Int
+)
+
 object Generator {
 
   /** Salted partition key. saltMap: host → number of partition keys to spread
@@ -135,13 +151,28 @@ object Generator {
     // (stays a Catalyst column, so it rides INSIDE the sortWithinPartitions
     // codegen — no extra pass, no UDF)
     val sortExpr = sortValue(cfg, now)
-    val sortCols = if (byDomain) Seq(col("domain"), sortExpr.desc) else Seq(sortExpr.desc)
+    val sortCols = if (byDomain) Seq(col("domain"), col("sv").desc) else Seq(col("sv").desc)
 
-    val selected: Dataset[FetchTask] = eligible(frontier, cfg, now, badHosts)
+    // project-early (shuffle fewer bytes): the generate repartition is a
+    // frontier-wide shuffle, and the reducer needs only the FetchTask
+    // scalars — metadata maps, signatures, repr_url and modified_time would
+    // otherwise ride it for nothing. The sort value (which may read
+    // metadata under scoring-adaptive) and the depth stamp are computed
+    // BEFORE the exchange as plain columns.
+    val depthCol =
+      if (depthOn) coalesce(element_at(col("metadata"), "_depth_").cast("int"), lit(1))
+      else lit(1)
+    val narrow = eligible(frontier, cfg, now, badHosts).toDF()
+      .select(col("url"), col("url_hash"), col("host"), col("domain"),
+        col("status"), col("fetch_time"), col("retries"), col("fetch_interval"),
+        col("score"), sortExpr.as("sv"), depthCol.as("depth"))
+
+    val selected: Dataset[FetchTask] = narrow
       // domain mode partitions purely by domain hash (Generator2 has no
       // salting — cap exactness requires the whole domain in one partition)
       .repartition(p, partitionKey(col("url"), keyCol, if (byDomain) Map.empty else hostSalt))
       .sortWithinPartitions(sortCols: _*)
+      .as[GenRow]
       .mapPartitions { it =>
         // order-dependent running caps, mirroring the reference reducer's
         // per-host counting with segment overflow (Generator.java:516-560):
@@ -179,10 +210,7 @@ object Generator {
             emitted(seg) += 1
             Iterator(FetchTask(e.url, e.url_hash, e.host, e.domain, e.status,
               e.fetch_time, e.retries, e.fetch_interval, e.score, seg,
-              depth = if (depthOn)
-                Option(e.metadata).flatMap(_.get("_depth_"))
-                  .flatMap(_.toIntOption).getOrElse(1)
-              else 1))
+              depth = e.depth))
           }
         }
         // flush the final domain's run check after the input drains (by-name

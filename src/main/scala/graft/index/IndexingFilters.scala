@@ -270,6 +270,7 @@ case class LanguageFilter(
     detectFromText: Boolean = true) extends IndexingFilter {
   override def name: String = "language-identifier"
   override def apply(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val candidates: Seq[Column] = Seq(
       if (IndexingFilter.hasCol(docs, "parse_meta"))
         Some(element_at(col("parse_meta"), "lang")) else None,

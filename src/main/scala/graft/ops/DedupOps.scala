@@ -18,6 +18,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupOps {
 
+  /** persist unless this exact plan is already cached — re-persisting an
+    * already-cached plan is a no-op that spams CacheManager warnings when
+    * two queries share a lineage (e.g. clusters over the pair graph). */
+  private def persistSpillable(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Exact duplicate groups by content digest. */
   def exactDups(docs: DataFrame): DataFrame =
     docs
@@ -77,8 +85,7 @@ object DedupOps {
   def unigramJaccardPairs(docs: DataFrame, threshold: Double,
                           maxDfFraction: Double = 0.5,
                           onDropped: Long => Unit = _ => ()): DataFrame = {
-    val toks0 = docTokens(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks0 = persistSpillable(docTokens(docs))
     val toks = dfCut(toks0, docs.count(), "token", maxDfFraction, onDropped)
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = toks.as("a")
@@ -94,9 +101,9 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Distinct (doc_id, shingle-string) pairs — raw strings so exact Jaccard
-    * is engine-neutral (the hashed form is minhash's domain). */
-  def docShinglesRaw(docs: DataFrame, n: Int): DataFrame = {
+  /** Exploded (doc_id, shingle-string) pairs WITHOUT the distinct — the
+    * shared scan for consumers that dedup later (or not at all). */
+  private def docShinglesExploded(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(col("text")), " ")
     docs
       .select(col("doc_id"),
@@ -104,8 +111,12 @@ object DedupOps {
           transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))
         ).as("shingle"))
-      .distinct()
   }
+
+  /** Distinct (doc_id, shingle-string) pairs — raw strings so exact Jaccard
+    * is engine-neutral (the hashed form is minhash's domain). */
+  def docShinglesRaw(docs: DataFrame, n: Int): DataFrame =
+    docShinglesExploded(docs, n).distinct()
 
   /** Exact word-n-gram Jaccard pairs ≥ threshold via an inverted index on
     * shingle strings (the quadratic-exact sibling of minhashLshPairs);
@@ -113,8 +124,7 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
                         maxDfFraction: Double = 0.5,
                         onDropped: Long => Unit = _ => ()): DataFrame = {
-    val sh0 = docShinglesRaw(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-scale shingles must spill, not OOM
+    val sh0 = persistSpillable(docShinglesRaw(docs, n)) // corpus-scale shingles must spill, not OOM
     val sh = dfCut(sh0, docs.count(), "shingle", maxDfFraction, onDropped)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
@@ -130,19 +140,16 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Word n-gram shingles, hashed to 64 bits. */
-  def docShingles(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(trim(col("text")), " ")
-    docs
-      .select(col("doc_id"),
-        explode(
-          // sliding shingles: transform over start positions
-          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-        ).as("shingle"))
-      .distinct()
+  /** Word n-gram shingles, hashed to 64 bits. The distinct runs on the
+    * HASHED form: (doc_id, long) shuffles a fraction of the raw-string
+    * bytes, and every consumer (minhash signatures, LSH verify) already
+    * treats hash equality as shingle identity — the 64-bit space makes a
+    * collision astronomically unlikely and the operator's contract is
+    * hash-set Jaccard either way. */
+  def docShingles(docs: DataFrame, n: Int): DataFrame =
+    docShinglesExploded(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-  }
+      .distinct()
 
   /** MinHash signature matrix: the i-th "permutation" is xxhash64(sh, seed+i)
     * — re-hashing beats affine (a*x+b) permutations here: better mixing, and
@@ -167,8 +174,7 @@ object DedupOps {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shingles = docShingles(docs, shingleN) // reused: signatures + verify
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // spill-tolerant at corpus scale
+    val shingles = persistSpillable(docShingles(docs, shingleN)) // reused: signatures + verify; spill-tolerant at corpus scale
     val sig = minhashSignatures(shingles, numHashes, seed)
 
     // band buckets: hash of each band's minhash slice
@@ -209,12 +215,14 @@ object DedupOps {
     val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
       .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), xxhash64(col("token")).as("th"))
-      .agg(count(lit(1)).as("w"))
-    // per-bit weighted vote: sum(w * (bit ? +1 : -1)) > 0 → bit set.
-    // One aggregation with 64 conditional sums (codegen-friendly, no UDF).
+      .select(col("doc_id"), xxhash64(col("token")).as("th"))
+    // per-bit weighted vote: sum over OCCURRENCES of (bit ? +1 : -1) — the
+    // same integer total as the per-distinct-token sum of w·(±1), but in a
+    // SINGLE aggregation (the former (doc_id, token-hash) pre-count was a
+    // second full shuffle for nothing: summing ±1 per occurrence is the
+    // weighting). 64 conditional sums, codegen-friendly, no UDF.
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s_$b")
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))).as(s"s_$b")
     }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until 64).map { b =>
@@ -261,10 +269,15 @@ object DedupOps {
       n: Int = 3,
       minHits: Int = 1): DataFrame = {
     val benchSh = docShinglesRaw(benchmark, n).select("shingle").distinct()
-    docShinglesRaw(docs, n)
+    // broadcast semi-join BEFORE the per-doc distinct: the corpus-wide
+    // (doc_id, shingle) distinct would shuffle every shingle of every doc;
+    // filtering against the broadcast bench set first is map-side, so only
+    // contaminated shingles (a sliver of the corpus) ever reach a shuffle.
+    // count(DISTINCT shingle) restores the exact distinct-hit semantics.
+    docShinglesExploded(docs, n)
       .join(broadcast(benchSh), Seq("shingle"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("contaminated_ngrams"))
+      .agg(countDistinct(col("shingle")).as("contaminated_ngrams"))
       .filter(col("contaminated_ngrams") >= minHits)
   }
 
@@ -289,23 +302,26 @@ object DedupOps {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs
+    val edges = persistSpillable(pairs
       .select(col(aCol).cast("long").as("n"), col(bCol).cast("long").as("m"))
       .union(pairs.select(col(bCol).cast("long").as("n"), col(aCol).cast("long").as("m")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     var labels = edges.groupBy(col("n"))
       .agg(least(min(col("m")), first(col("n"))).as("lbl"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // each node pulls the smallest label among its neighbours
-      val pulled = edges
+      // each node pulls the smallest label among its neighbours, min'd with
+      // its own label in ONE aggregation (own label rides the union with a
+      // non-null marker column) — one join + one shuffle per iteration where
+      // the pull-then-rejoin form paid a second labels join
+      val cand = edges
         .join(labels.withColumnRenamed("n", "m"), Seq("m"))
-        .groupBy(col("n")).agg(min(col("lbl")).as("nbr"))
-      val next = labels.join(pulled, Seq("n"))
-        .select(col("n"), least(col("lbl"), col("nbr")).as("lbl"),
-          (col("nbr") < col("lbl")).as("changed"))
+        .select(col("n"), col("lbl"), lit(null).cast("long").as("own"))
+        .unionByName(labels.select(col("n"), col("lbl"), col("lbl").as("own")))
+      val next = cand.groupBy(col("n"))
+        .agg(min(col("lbl")).as("lbl"), min(col("own")).as("prev"))
+        .select(col("n"), col("lbl"), (col("lbl") < col("prev")).as("changed"))
         .localCheckpoint(true) // cut lineage, keep data distributed
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("n"), col("lbl"))

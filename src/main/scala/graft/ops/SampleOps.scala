@@ -62,13 +62,20 @@ object SampleOps {
       tokenCol: String,
       budget: Long,
       packKeys: Int = 32): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame would share one cumsum
+    // across orderBy peers (duplicate ids), diverging from concat-and-chunk
+    // semantics; ROWS is also what the DuckDB oracle states
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pack_key")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("pack_key", pmod(col(idCol).cast("long"), lit(packKeys.toLong)))
       .withColumn("_before",
         coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L)))
       .select(col(idCol), col("pack_key"),
-        floor(col("_before").cast("double") / budget).cast("long").as("bin_id"),
+        // integer long division: exact at any cumulative count (a double
+        // cast loses exactness past 2^53 tokens per stream)
+        expr(s"_before DIV ${budget}L").as("bin_id"),
         (col("_before") % budget).as("bin_offset"))
   }
 

@@ -30,15 +30,27 @@ object SimilarityOps {
   def cosineBp(a: Column, b: Column): Column =
     floor(cosine(a, b) * 10000).cast("long")
 
+  /** floor(bp) of a cosine assembled from a precomputed norm product —
+    * the SAME IEEE ops as [[cosineBp]] (dot / (normA * normB) * 10⁴), with
+    * the norms hoisted so each vector's norm is computed once per ROW
+    * instead of once per PAIR (norms are O(dim) array folds — recomputing
+    * them inside an all-pairs join multiplies the work by the match count). */
+  private def cosineBpPre(dotCol: Column, normA: Column, normB: Column): Column =
+    floor(dotCol / (normA * normB) * 10000).cast("long")
+
   /** Exact cosine top-k of each query vector (vec_id ∈ queryIds) against the
     * whole corpus. The query side is broadcast — no corpus shuffle. */
   def bruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val q = broadcast(
       emb.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val scored = emb.crossJoin(q)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          norm(col("embedding")).as("_qn")))
+    val scored = emb
+      .withColumn("_n", norm(col("embedding")))
+      .crossJoin(q)
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_bp", cosineBp(col("qe"), col("embedding")))
+      .withColumn("cos_bp",
+        cosineBpPre(dot(col("qe"), col("embedding")), col("_qn"), col("_n")))
     val w = Window.partitionBy("qid").orderBy(desc("cos_bp"), asc("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -49,10 +61,11 @@ object SimilarityOps {
   /** All pairs with cosine ≥ threshold among vec_id < maxId (exact, bounded). */
   def cosinePairs(emb: DataFrame, threshold: Double, maxId: Long): DataFrame = {
     val e = emb.filter(col("vec_id") < maxId)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        cosineBp(col("a.embedding"), col("b.embedding")).as("cos_bp"))
+        cosineBpPre(dot(col("a.embedding"), col("b.embedding")),
+          col("a.nrm"), col("b.nrm")).as("cos_bp"))
       .filter(col("cos_bp") >= (threshold * 10000).toLong)
   }
 
@@ -82,14 +95,35 @@ object SimilarityOps {
     d / (norm(embCol) * vn)
   }
 
-  /** Nearest-centroid id for every row (argmax over broadcast centroids). */
-  private def nearestCentroid(embCol: Column, centroids: Seq[Array[Double]]): Column = {
+  /** cosineToLit with the row norm precomputed in `nrmCol` — identical IEEE
+    * ops (dot / (norm * vn)), but the O(dim) norm fold is evaluated once per
+    * row instead of once per centroid. */
+  private def cosineToLitPre(embCol: Column, nrmCol: Column, v: Array[Double]): Column = {
+    val vn = math.sqrt(v.map(x => x * x).sum)
+    val d = aggregate(zip_with(embCol, typedLit(v.toSeq), (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+    d / (nrmCol * vn)
+  }
+
+  /** Nearest-centroid id for every row (argmax over broadcast centroids).
+    * `nrmCol` must hold norm(embCol) — hoisted by the caller so k centroids
+    * share one norm evaluation. */
+  private def nearestCentroid(embCol: Column, nrmCol: Column,
+                              centroids: Seq[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosineToLit(embCol, c).as("cos"), lit(i).as("cid"))
+      struct(cosineToLitPre(embCol, nrmCol, c).as("cos"), lit(i).as("cid"))
     }
     // max struct = (highest cos, then highest cid) — deterministic argmax
     array_max(array(scored: _*)).getField("cid")
   }
+
+  /** Attach the nearest-centroid cell, hoisting the row norm into its own
+    * projection so it is computed once (CollapseProject keeps a non-cheap
+    * alias referenced k times in its own Project). */
+  private def withCell(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
+    emb.withColumn("_nrm", norm(col("embedding")))
+      .withColumn("cell", nearestCentroid(col("embedding"), col("_nrm"), centroids))
+      .drop("_nrm")
 
   /** Quantize a centroid coordinate to the 1e-6 grid. Lloyd means are
     * computed by a distributed `avg` whose floating-point sum ORDER is not
@@ -117,7 +151,7 @@ object SimilarityOps {
     var centroids = init
     var i = 0
     while (i < iterations) {
-      val assigned = emb.withColumn("cell", nearestCentroid(col("embedding"), centroids))
+      val assigned = withCell(emb, centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -136,7 +170,7 @@ object SimilarityOps {
       }
       i += 1
     }
-    (emb.withColumn("cell", nearestCentroid(col("embedding"), centroids)), centroids)
+    (withCell(emb, centroids), centroids)
   }
 
   /** A built IVF index: cell-assigned vectors (a table — build once, probe
@@ -185,11 +219,14 @@ object SimilarityOps {
     val q = broadcast(
       assigned.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .withColumn("_qn", norm(col("qe")))
         .withColumn("probe",
           explode(slice(reverse(array_sort(array(cellScores: _*))), 1, nProbe).getField("cid"))))
     val scored = assigned
+      .withColumn("_n", norm(col("embedding")))
       .join(q, col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_bp", cosineBp(col("qe"), col("embedding")))
+      .withColumn("cos_bp",
+        cosineBpPre(dot(col("qe"), col("embedding")), col("_qn"), col("_n")))
     val w = Window.partitionBy("qid").orderBy(desc("cos_bp"), asc("vec_id"))
     scored.select("qid", "vec_id", "cos_bp").distinct()
       .withColumn("rnk", row_number().over(w))
@@ -212,10 +249,13 @@ object SimilarityOps {
     val q = broadcast(
       bucketed.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          norm(col("embedding")).as("_qn"),
           explode(array(probes: _*)).as("probe")))
     val scored = bucketed
+      .withColumn("_n", norm(col("embedding")))
       .join(q, col("bucket") === col("probe") && col("vec_id") =!= col("qid"))
-      .withColumn("cos_bp", cosineBp(col("qe"), col("embedding")))
+      .withColumn("cos_bp",
+        cosineBpPre(dot(col("qe"), col("embedding")), col("_qn"), col("_n")))
     val w = Window.partitionBy("qid").orderBy(desc("cos_bp"), asc("vec_id"))
     scored
       .select("qid", "vec_id", "cos_bp").distinct()

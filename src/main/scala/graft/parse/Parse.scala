@@ -42,7 +42,8 @@ object Parse {
     * semantics, ParseOutputFormat.java:273-293); link/media spans share
     * score / n. */
   def linkedUpdates(pages: Dataset[FetchedPage], cfg: CrawlConfig, round: Int,
-                    parentMeta: Option[org.apache.spark.sql.DataFrame] = None): Dataset[FrontierUpdate] = {
+                    parentMeta: Option[org.apache.spark.sql.DataFrame] = None,
+                    registerCache: DataFrame => Unit = _ => ()): Dataset[FrontierUpdate] = {
     val spark = pages.sparkSession
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -221,9 +222,19 @@ object Parse {
         .withColumn("urlmeta", mapConcatSafe(col("_fmeta"), col("pagemeta")))
       case _ => exploded
     }
+    // perLink feeds TWO subtrees (the credit pre-agg AND the over-cap
+    // window resolution below): unpersisted, each pays the full pages scan
+    // + explode + canonicalization of every outlink — the single most
+    // expensive recomputation in the round (measured: the duplicate explode
+    // stage alone was ~2 s of the 6.5 s updatedb wall at 800k pages/round).
+    // Persisted, the explode runs once; the cache holds only the projected
+    // (to_url, fetch_time, child_score[, depth, tags]) columns and spills.
+    // The caller unpersists after the round via registerCache.
     val perLink = explodedT.select(Seq(col("to_url"), col("fetch_time"),
       col("child_score")) ++ (if (depthOn) Seq(col("child_depth")) else Nil) ++
       (if (tagsOn) Seq(col("from_url"), col("urlmeta")) else Nil): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(perLink)
     // depth agg (shortest path wins — reference min) only when scoring-depth
     // is on: the default 16M-row pre-agg carries no extra column
     def depthAgg = min(col("child_depth")).as("depth")
@@ -304,10 +315,16 @@ object Parse {
     val depthOn = cfg.scoringDepthMax > 0
     val pstOn = cfg.protocolStatusToCrawlDb
     if (!wantMime && keys.isEmpty && !depthOn && !pstOn)
-      pages.map { p =>
-        FrontierUpdate(p.url, "fetch", p.status, p.fetch_time, p.retries,
-          p.fetch_interval, p.score, p.signature, 0L, p.repr_url, Map.empty)
-      }
+      // pure column projection: the typed map would deserialize EVERY page
+      // (including its spans array) through the encoder just to copy nine
+      // scalar fields — the projection stays in Tungsten rows and lets the
+      // cached pages scan prune the span payload entirely
+      pages.toDF().select(
+        col("url"), lit("fetch").as("kind"), col("status"), col("fetch_time"),
+        col("retries"), col("fetch_interval"), col("score"), col("signature"),
+        lit(0L).as("modified_time"), col("repr_url"),
+        typedLit(Map.empty[String, String]).as("metadata"),
+        lit(-1L).as("generate_time")).as[FrontierUpdate]
     else pages.map { p =>
       var meta = Map.empty[String, String]
       // scoring-depth: the frontier remembers the page's depth (fetch wins

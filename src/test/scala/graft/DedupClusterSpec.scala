@@ -126,6 +126,34 @@ class DedupClusterSpec extends AnyFunSuite with SparkSpecBase {
     assert(two(1L) == ((1L, 0L, 0L)) && two(3L) == ((1L, 0L, 4L))) // odds: stream 1
   }
 
+  test("sequence packing: duplicate ids cumsum per ROW, not per orderBy peer group") {
+    import spark.implicits._
+    import graft.ops.SampleOps
+    // two rows share doc_id 1: the ROWS-frame cumsum must give them
+    // DISTINCT running offsets (0 and 4); the default RANGE frame would
+    // hand both the shared peer total (concat-and-chunk breakage)
+    val docs = Seq((1L, 4L), (1L, 4L), (2L, 4L)).toDF("doc_id", "n_tok")
+    val got = SampleOps.packSequences(docs, "doc_id", "n_tok", 10L, 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val dupRows = got.filter(_._1 == 1L).map(r => (r._3, r._4)).sorted
+    assert(dupRows == Seq((0L, 0L), (0L, 4L)), s"per-row cumsum for duplicate ids: $got")
+    assert(got.find(_._1 == 2L).get._4 == 8L, s"stream total unaffected: $got")
+  }
+
+  test("repetition signals: empty tokens, all-same tokens, run-length edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a  b"),        // double space: unigrams drop the empty (1/2); raw bigrams "a ", " b" → 1·2/3
+      (2L, "w w w w"),     // all same: 4/4; bigram "w w" 3× → 3·2/4
+      (3L, "p q p q p")    // top p 3/5; bigrams p q ×2, q p ×2 → 2·2/5
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((500000L, 666666L)), s"got $got")
+    assert(got(2L) == ((1000000L, 1500000L)), s"got $got")
+    assert(got(3L) == ((600000L, 800000L)), s"got $got")
+  }
+
   test("repetition signals: top-token and top-bigram fractions") {
     import spark.implicits._
     val docs = Seq(

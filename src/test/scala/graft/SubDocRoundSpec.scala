@@ -80,4 +80,18 @@ class SubDocRoundSpec extends AnyFunSuite with SparkSpecBase {
     assert(frontier.get("http://feeds.test/shared/entry").exists(_._2 == 1))
     assert(frontier.values.forall(_._2 == 1), s"no URL may have two rows: $frontier")
   }
+
+  test("configured URL normalizer plugins: fetch side canonicalizes sub-doc URLs " +
+    "with the SAME extra chain as the link side (one frontier row, plugin spelling)") {
+    val cfg = base.copy(extraUrlNormalizers =
+      Seq(graft.url.RegexRuleNormalizer(Seq("/shared/" -> "/s/"))))
+    val frontier = runRound(cfg)
+    val entry = frontier.get("http://feeds.test/s/entry")
+    assert(entry.isDefined, s"plugin-normalized entry row missing: ${frontier.keys.toSeq.sorted}")
+    assert(entry.get._2 == 1, s"duplicate frontier rows for the entry: $frontier")
+    assert(entry.get._1 == CrawlStatus.DB_FETCHED, "entry content was fetched in-container")
+    assert(!frontier.contains("http://feeds.test/shared/entry"),
+      "default-chain spelling must not leak from the fetch side when plugins are configured")
+    assert(frontier.values.forall(_._2 == 1), s"no URL may have two rows: $frontier")
+  }
 }
