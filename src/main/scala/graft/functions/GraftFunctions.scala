@@ -24,6 +24,9 @@ object GraftFunctions {
     "text_count_substr" -> ((es: Seq[Expression]) => TextCountSubstr(es(0), es(1))),
     "text_bpe_count" -> ((es: Seq[Expression]) => TextBpeCount(es.head)),
     "mime_resolve" -> ((es: Seq[Expression]) => MimeResolve(es(0), es(1))),
+    "vec_dot" -> ((es: Seq[Expression]) => VecDot(es(0), es(1))),
+    "text_shingles" -> ((es: Seq[Expression]) => TextShingles(es(0), es(1))),
+    "text_simhash" -> ((es: Seq[Expression]) => TextSimhash(es.head)),
     "url_surt" -> ((es: Seq[Expression]) => UrlSurt(es.head)),
     "url_tld" -> ((es: Seq[Expression]) => PublicSuffixOf(es.head))
   )

@@ -102,15 +102,16 @@ object DedupOps {
   }
 
   /** Exploded (doc_id, shingle-string) pairs WITHOUT the distinct — the
-    * shared scan for consumers that dedup later (or not at all). */
+    * shared scan for consumers that dedup later (or not at all). Shingling
+    * runs through the codegen'd TextShingles kernel (one byte scan per doc)
+    * instead of the former transform/slice/concat_ws HOF pipeline, which is
+    * CodegenFallback — interpreted per shingle per row. Identical output
+    * (differential-spec'd: VecExpressionsSpec). */
   private def docShinglesExploded(docs: DataFrame, n: Int): DataFrame = {
-    val toks = split(trim(col("text")), " ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
-        explode(
-          transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-        ).as("shingle"))
+        explode(call_function("text_shingles", col("text"), lit(n))).as("shingle"))
   }
 
   /** Distinct (doc_id, shingle-string) pairs — raw strings so exact Jaccard
@@ -210,25 +211,21 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash per doc over token hashes weighted by frequency. */
+  /** 64-bit SimHash per doc over token hashes weighted by frequency.
+    *
+    * A document's simhash is a pure function of its own tokens, so it is
+    * computed ROW-LOCAL by the codegen'd TextSimhash kernel (one byte scan
+    * per doc) — the former explode → 64-conditional-sum aggregation paid a
+    * hash-aggregate probe per TOKEN occurrence plus a shuffle, to compute a
+    * per-row value. Bit-identical fingerprints (differential-spec'd:
+    * VecExpressionsSpec); docs with no non-empty token emit no row, same as
+    * the aggregation form. Assumes unique doc_id per row (true of every
+    * corpus table; the aggregation form merged duplicate ids instead). */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-      .select(col("doc_id"), xxhash64(col("token")).as("th"))
-    // per-bit weighted vote: sum over OCCURRENCES of (bit ? +1 : -1) — the
-    // same integer total as the per-distinct-token sum of w·(±1), but in a
-    // SINGLE aggregation (the former (doc_id, token-hash) pre-count was a
-    // second full shuffle for nothing: summing ±1 per occurrence is the
-    // weighting). 64 conditional sums, codegen-friendly, no UDF.
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))).as(s"s_$b")
-    }
-    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"s_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    agg.select(col("doc_id"), fp.as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), call_function("text_simhash", col("text")).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, found via

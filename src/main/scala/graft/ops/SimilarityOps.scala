@@ -16,10 +16,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityOps {
 
-  /** Strict left-to-right dot product of two array<float> columns (as double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** persist unless this exact plan is already cached (no CacheManager WARN
+    * when the bench re-runs a query over the same lineage). */
+  private def persistSpillable(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
+  /** Strict left-to-right dot product of two array<float|double> columns (as
+    * double) — the codegen'd VecDot kernel, IEEE-identical to the former
+    * `aggregate(zip_with(...))` fold (HOFs are CodegenFallback: interpreted
+    * per element; inside an all-pairs join that tax multiplies by the match
+    * count). Callers must register GraftFunctions (every DataFrame-level
+    * entry point here does). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,6 +51,7 @@ object SimilarityOps {
   /** Exact cosine top-k of each query vector (vec_id ∈ queryIds) against the
     * whole corpus. The query side is broadcast — no corpus shuffle. */
   def bruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = broadcast(
       emb.filter(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -60,6 +71,7 @@ object SimilarityOps {
 
   /** All pairs with cosine ≥ threshold among vec_id < maxId (exact, bounded). */
   def cosinePairs(emb: DataFrame, threshold: Double, maxId: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.filter(col("vec_id") < maxId)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -90,9 +102,7 @@ object SimilarityOps {
     * dot/norm against a literal array — stays in codegen. */
   private def cosineToLit(embCol: Column, v: Array[Double]): Column = {
     val vn = math.sqrt(v.map(x => x * x).sum)
-    val d = aggregate(zip_with(embCol, typedLit(v.toSeq), (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
-    d / (norm(embCol) * vn)
+    dot(embCol, typedLit(v.toSeq)) / (norm(embCol) * vn)
   }
 
   /** cosineToLit with the row norm precomputed in `nrmCol` — identical IEEE
@@ -100,9 +110,7 @@ object SimilarityOps {
     * row instead of once per centroid. */
   private def cosineToLitPre(embCol: Column, nrmCol: Column, v: Array[Double]): Column = {
     val vn = math.sqrt(v.map(x => x * x).sum)
-    val d = aggregate(zip_with(embCol, typedLit(v.toSeq), (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
-    d / (nrmCol * vn)
+    dot(embCol, typedLit(v.toSeq)) / (nrmCol * vn)
   }
 
   /** Nearest-centroid id for every row (argmax over broadcast centroids).
@@ -142,7 +150,14 @@ object SimilarityOps {
     * centroids). */
   def ivfIndex(emb: DataFrame, nCentroids: Int, iterations: Int = 3, seed: Long = 42L
               ): (DataFrame, Seq[Array[Double]]) = {
-    val init = emb
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    // the build makes iterations+2 passes over the corpus (seed pick, Lloyd
+    // assignments, final assignment); persist so every pass after the first
+    // reads cached columnar batches instead of re-scanning the source —
+    // values are unchanged (same rows, same arithmetic), only the scan cost
+    // amortizes. Spill-tolerant; build-once/probe-many callers keep it warm.
+    val embP = persistSpillable(emb)
+    val init = embP
       .withColumn("_h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy(col("_h")).limit(nCentroids)
       .select(col("embedding")).collect()
@@ -151,7 +166,7 @@ object SimilarityOps {
     var centroids = init
     var i = 0
     while (i < iterations) {
-      val assigned = withCell(emb, centroids)
+      val assigned = withCell(embP, centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -170,7 +185,7 @@ object SimilarityOps {
       }
       i += 1
     }
-    (withCell(emb, centroids), centroids)
+    (withCell(embP, centroids), centroids)
   }
 
   /** A built IVF index: cell-assigned vectors (a table — build once, probe
@@ -212,6 +227,7 @@ object SimilarityOps {
     * from the centroid matrix, exact re-rank inside those cells. Query cost
     * ∝ corpus/nCentroids × nProbe, not corpus. */
   def ivfProbe(index: IvfIndex, queryIds: Seq[Long], k: Int, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(index.assigned.sparkSession)
     val assigned = index.assigned
     val cellScores = index.centroids.zipWithIndex.map { case (c, i) =>
       struct(cosineToLit(col("qe"), c).as("cos"), lit(i).as("cid"))
@@ -244,6 +260,7 @@ object SimilarityOps {
     * their own bucket (plus its hamming-1 neighbors for recall). */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               planes: Int = 6, seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), planes, seed))
     val probes = (0 until planes).map(p => col("bucket").bitwiseXOR(shiftleft(lit(1L), p))) :+ col("bucket")
     val q = broadcast(
