@@ -90,7 +90,8 @@ object CrawlRound {
     val stageMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timed[A](name: String)(f: => A): A = {
       val s = System.nanoTime()
-      val r = f
+      spark.sparkContext.setJobDescription(s"round$round:$name") // guide §1.5
+      val r = try f finally spark.sparkContext.setJobDescription(null)
       stageMs.update(name, (System.nanoTime() - s) / 1000000)
       r
     }
@@ -250,6 +251,21 @@ object CrawlRound {
     val persistFrontier = dedupEachRound || seen.isDefined
     val newFrontier =
       if (persistFrontier) newFrontier0.persist(StorageLevel.MEMORY_AND_DISK) else newFrontier0
+    // dedup fans the merged frontier into three INDEPENDENT sibling stages
+    // (keep-best agg, candidates exchange, pass-through union): on a cold
+    // lazy cache all three race to materialize it — the block-level compute
+    // locks stop duplicate work, but the waiting stages' tasks hold task
+    // slots while they block, so the merge's wall cost ~triples (measured:
+    // three concurrent ~1.6 s materialization stages in the write job).
+    // Prime the cache EAGERLY in its own job: the merge computes exactly
+    // once; dedup, the frontier write, and the seen-bloom delta then all
+    // stream cached blocks.
+    // plan evidence hook (guide §7.2): dump the merge's physical plan once
+    // per process when asked — the loaded-round twin of PlanDump
+    if (sys.env.contains("GRAFT_EXPLAIN_UPDATEDB") && round == 1)
+      System.err.println("[updatedb plan]\n" + newFrontier.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    if (dedupEachRound) timed("updatedb_materialize") { newFrontier.count() }
     val finalFrontier = if (dedupEachRound) Dedup.markDuplicates(newFrontier) else newFrontier
     val obsDb = Observation(s"updatedb_r$round")
     // optional storage layout: bucket by url_hash (min/max pruning turns the

@@ -101,16 +101,29 @@ object UpdateDbColumnar {
     // similarity mode needs the fetch row's own score (the page's cosine
     // score stamped at parse); the default OPIC path ships no extra column
     val simOn = cfg.scoringSimilarityGold.isDefined
+
+    // ---- update side: fetch ⋈ link co-group on NARROW rows first ----
+    // The former shape chained the two full-outer joins frontier⋈fetch, then
+    // ⋈links on coalesce(url, f_url): a full-outer join's output partition-
+    // ing is unknown, so the second join re-shuffled the FULL-WIDTH merged
+    // frontier rows — an extra frontier-sized wide exchange per round.
+    // Joining the two UPDATE sides together first moves that middle exchange
+    // onto the narrow update rows (≤ topN fetch rows + pre-aggregated link
+    // credits), and the frontier then pays exactly one wide exchange.
+    // (A union + one aggregation would be narrower still, but max_by over a
+    // struct carrying the metadata MAP cannot hash-aggregate — Spark plans
+    // a SortAggregate, i.e. two full sorts of the union: measured slower.)
     val f0 = fetched.toDF().select(Seq(
       col("url").as("f_url"), col("status").as("f_status"),
       col("fetch_time").as("f_time"), col("signature").as("f_sig"),
       col("repr_url").as("f_repr"), col("metadata").as("f_meta")) ++
       (if (simOn) Seq(col("score").as("f_score")) else Nil): _*)
-    // the join assumes ONE fetch row per URL; with in-task redirect, outlink
-    // follow, OR a multi-doc fetcher the same URL can be fetched twice (two
-    // partitions follow to one target, a followed target was also generated,
-    // or two containers list the same sub-document) — dedup latest-wins with
-    // the same deterministic (time, status, score) order as the typed merge
+    // the co-group assumes ONE fetch row per URL; with in-task redirect,
+    // outlink follow, OR a multi-doc fetcher the same URL can be fetched
+    // twice (two partitions follow to one target, a followed target was also
+    // generated, or two containers list the same sub-document) — dedup
+    // latest-wins with the same deterministic (time, status, score) order as
+    // the typed merge
     val f = if (cfg.redirectMax <= 0 && cfg.followOutlinksDepth <= 0 && !cfg.fetchMultiDoc) f0
       else {
         val f0s = fetched.toDF().select(
@@ -141,17 +154,19 @@ object UpdateDbColumnar {
           col("url").as("l_url"), col("score").as("l_credit"),
           lit(null).cast("map<string,string>").as("l_meta"))
 
-    // deliberate join strategy (guide §3.1): both merge joins get a
-    // SHUFFLE_HASH hint on the update-sized side (fetch rows ≤ topN, link
-    // credits ≤ distinct targets — both a fraction of the frontier), so the
-    // frontier is hashed against a per-partition build table instead of
-    // paying a full sort on every side of two sort-merge joins. Spark ≥3.1
-    // executes full-outer shuffled-hash joins; AQE skew split still applies.
-    val joined = old
-      .join(f.hint("shuffle_hash"), col("url") === col("f_url"), "full_outer")
-      .join(l.hint("shuffle_hash"), coalesce(col("url"), col("f_url")) === col("l_url"), "full_outer")
+    val upd = f
+      .join(l.hint("shuffle_hash"), col("f_url") === col("l_url"), "full_outer")
+      .withColumn("u_url", coalesce(col("f_url"), col("l_url")))
 
-    val url = coalesce(col("url"), col("f_url"), col("l_url"))
+    // deliberate join strategy (guide §3.1): both joins get a SHUFFLE_HASH
+    // hint on their update-sized side, so the frontier is hashed against a
+    // per-partition build table instead of paying a full sort on both sides
+    // of a sort-merge join. Spark ≥3.1 executes full-outer shuffled-hash
+    // joins; AQE skew split still applies.
+    val joined = old
+      .join(upd.hint("shuffle_hash"), col("url") === col("u_url"), "full_outer")
+
+    val url = coalesce(col("url"), col("u_url"))
     val hasOld = col("o_status").isNotNull
     val hasFetch = col("f_status").isNotNull
     val hasLink = col("l_credit").isNotNull

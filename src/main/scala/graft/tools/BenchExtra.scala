@@ -79,6 +79,9 @@ object BenchExtra {
     // bytes, records) — maps the stageMs buckets back to physical stages
     if (sys.env.contains("GRAFT_BENCHX_STAGES"))
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          println(s"[job ${j.jobId}] stages=${j.stageIds.mkString(",")} " +
+            Option(j.properties.getProperty("spark.job.description")).getOrElse(""))
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
@@ -89,7 +92,7 @@ object BenchExtra {
             f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
             f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
             f"recs=${m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten}%9d  " +
-            i.name.takeWhile(_ != '\n').take(60))
+            i.name.takeWhile(_ != 0x0a.toChar).take(100))
         }
       })
     val web = SyntheticWeb(WebConfig(nHosts = 3000, pagesPerHost = 350, hotFactor = 25))
