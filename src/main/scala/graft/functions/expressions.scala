@@ -195,20 +195,35 @@ case class UrlAccept(child: Expression) extends UnaryExpression {
   override def prettyName: String = "url_accept"
 }
 
-/** Allocation-free substring occurrence count — the leftmost non-overlapping
+/** Allocation-light substring occurrence count — the leftmost non-overlapping
   * scan, exactly what `(length(s) - length(replace(s, n, ''))) / length(n)`
   * counts, WITHOUT materializing a replaced copy of the text per needle per
   * row (the marker-word scorers run a dozen needles over every document).
-  * Operates directly on UTF8String bytes via indexOf. */
+  *
+  * One forward pass over the haystack bytes. (UTF8String.indexOf takes a
+  * CHAR start position and re-walks the string from byte 0 to find it on
+  * every call, so an indexOf loop is O(matches × position) — quadratic for
+  * a dense needle like a single space. Byte-pattern matching is exact for
+  * UTF-8: a valid needle's first byte is never a continuation byte, so a
+  * byte match can only start on a codepoint boundary, and advancing by the
+  * needle's byte length past a match reproduces the non-overlapping
+  * char-based count.) */
 object TextNative {
   def countSubstr(s: UTF8String, n: UTF8String): Long = {
-    val step = n.numChars()
-    if (step == 0) return 0L
+    val nlen = n.numBytes()
+    if (nlen == 0) return 0L
+    val hb = s.getBytes
+    val nb = n.getBytes
+    val limit = hb.length - nlen
+    val first = nb(0)
     var c = 0L
-    var i = s.indexOf(n, 0)
-    while (i >= 0) {
-      c += 1
-      i = s.indexOf(n, i + step)
+    var i = 0
+    while (i <= limit) {
+      if (hb(i) == first) {
+        var j = 1
+        while (j < nlen && hb(i + j) == nb(j)) j += 1
+        if (j == nlen) { c += 1; i += nlen } else i += 1
+      } else i += 1
     }
     c
   }

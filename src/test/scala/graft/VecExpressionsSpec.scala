@@ -127,4 +127,30 @@ class VecExpressionsSpec extends AnyFunSuite with SparkSpecBase {
         s"extra=${(got.keySet -- expected.keySet).take(5)}")
     }
   }
+
+  test("text_count_substr (byte scan) ≡ replace-count formula on corpus + tricky texts") {
+    // the formula every marker-word scorer originally used — and the one the
+    // DuckDB oracles still mirror
+    def replaceCount(c: org.apache.spark.sql.Column, s: String) =
+      (length(c) - length(call_function("replace", c, lit(s), lit("")))) / s.length
+    val needles = Seq(" ", " the ", " a ", "  ", "é", "中文", "aa")
+    for (src <- Seq(docs.select("doc_id", "text"), trickyTexts)) {
+      val cols = needles.zipWithIndex.flatMap { case (n, i) =>
+        Seq(call_function("text_count_substr", col("text"), lit(n)).cast("double").as(s"k$i"),
+          replaceCount(col("text"), n).as(s"h$i"))
+      }
+      src.select(cols: _*).collect().foreach { r =>
+        needles.indices.foreach { i =>
+          assert(r.isNullAt(2 * i) == r.isNullAt(2 * i + 1) &&
+            (r.isNullAt(2 * i) || r.getDouble(2 * i) == r.getDouble(2 * i + 1)),
+            s"needle '${needles(i)}' differs on row $r")
+        }
+      }
+    }
+    // non-overlapping semantics pin: "aaaa" contains "aa" twice, not three times
+    import spark.implicits._
+    val one = Seq(Tuple1("aaaa")).toDF("text")
+      .select(call_function("text_count_substr", col("text"), lit("aa"))).head.getLong(0)
+    assert(one == 2L)
+  }
 }
